@@ -1,0 +1,98 @@
+"""World-space trilinear voxel-grid sampling.
+
+TPU-native equivalent of pytorch3d `FullResolutionVoxelGrid.evaluate_world`
++ `VolumeLocator` (reference: holo_voxel_grid_implicit_function.py:204-221),
+which bottom out in CUDA `grid_sample`. Implemented as a gather + weighted sum
+in pure XLA (fusable); the Pallas fused render kernel has its own copy of the
+interpolation arithmetic (ops/pallas/fused_render.py).
+
+Conventions (pytorch3d `Volumes`):
+  * grid of size (D, H, W) with voxel_size s, centered at the origin; world
+    coordinate of voxel index i along an axis of size n is (i - (n-1)/2) * s.
+  * local coords normalized to [-1, 1] with align_corners=True semantics;
+    (x, y, z) map to (W, H, D) axes respectively.
+  * zero padding outside the grid.
+
+Layout: grid values are channels-last (D, H, W, C).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def voxel_coord_grid(resol: int, extent: float) -> jnp.ndarray:
+    """World xyz of each voxel center, (resol, resol, resol, 3).
+
+    `extent` is the full world size of the volume (reference `volume_extent`,
+    voxel_size = extent / resol; VolumeLocator.get_coord_grid equivalent,
+    holo_diffusion_model.py:349-355). Output ordering: out[k, j, i] is the
+    point with x = x_coords[i], y = y_coords[j], z = z_coords[k] — matching
+    pytorch3d's coord grid, whose flattened order pairs with a (D,H,W) grid.
+    """
+    voxel_size = extent / resol
+    coords = (jnp.arange(resol) - (resol - 1) / 2.0) * voxel_size
+    zz, yy, xx = jnp.meshgrid(coords, coords, coords, indexing="ij")
+    return jnp.stack([xx, yy, zz], axis=-1)
+
+
+def sample_voxel_grid_world(
+    grid: jnp.ndarray,
+    points_world: jnp.ndarray,
+    extent: float,
+) -> jnp.ndarray:
+    """Trilinearly sample a voxel grid at world points.
+
+    Args:
+      grid: (D, H, W, C) feature grid (D=z, H=y, W=x).
+      points_world: (..., 3) world xyz.
+      extent: full world extent of the volume (voxel_size = extent / D).
+
+    Returns:
+      (..., C) features; zero outside the grid (grid_sample zero padding,
+      align_corners=True).
+    """
+    D, H, W, C = grid.shape
+    voxel_size = extent / D
+
+    # world -> continuous voxel index (align_corners: index i at world
+    # (i - (n-1)/2) * s).
+    def to_idx(coord, n):
+        return coord / voxel_size + (n - 1) / 2.0
+
+    ix = to_idx(points_world[..., 0], W)
+    iy = to_idx(points_world[..., 1], H)
+    iz = to_idx(points_world[..., 2], D)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    z0 = jnp.floor(iz)
+    fx = ix - x0
+    fy = iy - y0
+    fz = iz - z0
+
+    out = None
+    flat = grid.reshape(-1, C)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi = x0 + dx
+                yi = y0 + dy
+                zi = z0 + dz
+                w = (
+                    jnp.where(dx, fx, 1.0 - fx)
+                    * jnp.where(dy, fy, 1.0 - fy)
+                    * jnp.where(dz, fz, 1.0 - fz)
+                )
+                inside = (
+                    (xi >= 0) & (xi <= W - 1)
+                    & (yi >= 0) & (yi <= H - 1)
+                    & (zi >= 0) & (zi <= D - 1)
+                )
+                xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+                yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+                zi_c = jnp.clip(zi, 0, D - 1).astype(jnp.int32)
+                lin = (zi_c * H + yi_c) * W + xi_c
+                vals = flat[lin]  # gather: (..., C)
+                contrib = vals * (w * inside)[..., None]
+                out = contrib if out is None else out + contrib
+    return out

@@ -1,0 +1,106 @@
+"""Ray sampler tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from holo_diffusion_tpu.geometry import (
+    PerspectiveCameras,
+    look_at_view_transform,
+    importance_sample_lengths,
+    ray_bundle_to_ray_points,
+    sample_rays_from_mask,
+    sample_rays_full_grid,
+    transform_points_world_to_camera,
+)
+from holo_diffusion_tpu.geometry.harmonic import HarmonicEmbedding
+
+
+def _cams(n=2, dist=5.0):
+    R, T = look_at_view_transform(
+        dist=dist, elev=jnp.linspace(0, 30, n), azim=jnp.linspace(0, 90, n)
+    )
+    return PerspectiveCameras(
+        R=R, T=T, focal_length=jnp.ones((n, 2)) * 2.0, principal_point=jnp.zeros((n, 2))
+    )
+
+
+def test_full_grid_ray_lengths_are_zdepth():
+    cams = _cams()
+    rb = sample_rays_full_grid(cams, 8, 8, 16, scene_extent=2.0)
+    pts = ray_bundle_to_ray_points(rb)  # (B, N, P, 3)
+    pts_cam = transform_points_world_to_camera(cams, pts)
+    np.testing.assert_allclose(pts_cam[..., 2], rb.lengths, rtol=1e-4, atol=1e-4)
+
+
+def test_full_grid_center_pixel_hits_origin():
+    cams = _cams(1)
+    rb = sample_rays_full_grid(cams, 9, 9, 8, scene_extent=1.0)
+    # Center ray of a 9x9 grid passes near the look-at target (origin)
+    center = rb.directions[0, 40]
+    o = rb.origins[0, 40]
+    # distance from origin to the ray line
+    t = -jnp.dot(o, center) / jnp.dot(center, center)
+    closest = o + t * center
+    assert jnp.linalg.norm(closest) < 1e-4
+
+
+def test_mask_sampling_respects_mask():
+    cams = _cams(2)
+    mask = jnp.zeros((2, 16, 16)).at[:, :8, :].set(1.0)  # top half only
+    rb = sample_rays_from_mask(cams, mask, 64, 8, jax.random.PRNGKey(0))
+    # top half of image -> +y NDC
+    assert (rb.xys[..., 1] > 0).all()
+    assert rb.lengths.shape == (2, 64, 8)
+
+
+def test_mask_sampling_all_zero_fallback():
+    cams = _cams(1)
+    mask = jnp.zeros((1, 8, 8))
+    rb = sample_rays_from_mask(cams, mask, 16, 4, jax.random.PRNGKey(1))
+    assert jnp.isfinite(rb.xys).all()
+
+
+def test_stratified_lengths_monotone():
+    cams = _cams(1)
+    rb = sample_rays_from_mask(
+        cams, jnp.ones((1, 8, 8)), 32, 16, jax.random.PRNGKey(2), stratified=True
+    )
+    assert (jnp.diff(rb.lengths, axis=-1) > 0).all()
+
+
+def test_importance_sampling_concentrates():
+    lengths = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 32), (1, 4, 32))
+    # weight mass near 0.75
+    w = jnp.exp(-((lengths - 0.75) ** 2) / 0.001)
+    fine = importance_sample_lengths(lengths, w, 64, jax.random.PRNGKey(3), append_coarse=False)
+    assert (jnp.diff(fine, axis=-1) >= 0).all()
+    frac_near = jnp.mean((jnp.abs(fine - 0.75) < 0.1).astype(jnp.float32))
+    assert frac_near > 0.8
+
+
+def test_importance_append_coarse_sorted():
+    lengths = jnp.broadcast_to(jnp.linspace(1.0, 2.0, 8), (1, 3, 8))
+    w = jnp.ones((1, 3, 8))
+    fine = importance_sample_lengths(lengths, w, 16, None, append_coarse=True)
+    assert fine.shape == (1, 3, 24)
+    assert (jnp.diff(fine, axis=-1) >= 0).all()
+
+
+def test_harmonic_embedding_dims_and_values():
+    he = HarmonicEmbedding(n_harmonic_functions=4)
+    x = jnp.asarray(np.random.RandomState(0).randn(5, 3), jnp.float32)
+    y = he(x)
+    assert y.shape == (5, 3 * (2 * 4 + 1))
+    assert he.get_output_dim(3) == 27
+    # layout: sin block then cos block then input
+    np.testing.assert_allclose(y[:, -3:], x, atol=1e-6)
+    np.testing.assert_allclose(y[:, 0], np.sin(x[:, 0]), atol=1e-6)
+    np.testing.assert_allclose(y[:, 1], np.sin(2 * x[:, 0]), atol=1e-6)
+    np.testing.assert_allclose(y[:, 12], np.cos(x[:, 0]), atol=1e-6)
+
+
+def test_harmonic_embedding_zero_freqs_identity():
+    he = HarmonicEmbedding(n_harmonic_functions=0)
+    x = jnp.ones((2, 7))
+    assert he(x).shape == (2, 7)
+    assert he.get_output_dim(7) == 7
