@@ -1,0 +1,87 @@
+"""Voxel-grid implicit function: trilinear world-space sampling + RenderMLP
+(reference: holo_voxel_grid_implicit_function.py:148-269).
+
+A single shared instance decodes all rendering passes — the reference reuses
+one wrapped implicit function so the RenderMLP is not replicated
+(holo_diffusion_model.py:165-169); here that falls out naturally from flax
+param sharing (one module, many applies).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.voxel import sample_voxel_grid_world
+from .render_mlp import RenderMLP
+
+
+def _normalize(v, eps=1e-12):
+    # torch F.normalize semantics: v / max(||v||, eps)
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+class VoxelGridImplicitFunction(nn.Module):
+    """forward(grid, points, directions) -> (densities, features, aux).
+
+    grid: (D, H, W, C) voxel features (channels-last; batch of 1 voxel grid
+    per device, mirroring holo_diffusion_model.py:326).
+    """
+
+    resol: int = 32
+    volume_extent: float = 8.0
+    n_hidden: int = 128
+    feature_dim: int = 0  # forced to 0 by the model (holo_diffusion_model.py:157)
+    render_normals: bool = False
+    render_mlp_args: dict = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        args = dict(self.render_mlp_args or {})
+        args.update(
+            input_dims=self.n_hidden,
+            output_feature_dims=3,
+            output_vp_independent_feature_dims=self.feature_dim,
+            dtype=self.dtype,
+        )
+        self.render_mlp = RenderMLP(**args)
+
+    def __call__(
+        self,
+        voxel_grid: jnp.ndarray,
+        ray_points_world: jnp.ndarray,
+        ray_directions: Optional[jnp.ndarray] = None,
+    ):
+        """voxel_grid: (D, H, W, C); ray_points_world: (..., P, 3);
+        ray_directions: (..., 3) per-ray (expanded over P) or None (dummy ones,
+        matching the pts_3d path, holo_voxel_grid_implicit_function.py:232-238).
+        """
+        sampled = sample_voxel_grid_world(
+            voxel_grid, ray_points_world, self.volume_extent
+        )
+
+        if ray_directions is None:
+            dirs = jnp.ones(ray_points_world.shape[:-1] + (3,), sampled.dtype)
+        else:
+            dirs = jnp.broadcast_to(
+                _normalize(ray_directions)[..., None, :],
+                ray_points_world.shape[:-1] + (3,),
+            )
+
+        densities, colour, vp_feats = self.render_mlp(sampled, dirs)
+
+        aux = {}
+        if self.render_normals:
+            def density_at(p):
+                feats = sample_voxel_grid_world(voxel_grid, p, self.volume_extent)
+                return self.render_mlp.density(feats).sum()
+
+            grads = jax.grad(density_at)(ray_points_world)
+            aux["normals"] = _normalize(grads)
+
+        features = colour
+        if vp_feats is not None:
+            features = jnp.concatenate([colour, vp_feats], axis=-1)
+        return densities, features, aux

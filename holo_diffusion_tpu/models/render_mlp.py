@@ -1,0 +1,97 @@
+"""RenderMLP — NeRF-style voxel-feature decoder
+(reference: holo_voxel_grid_implicit_function.py:48-145).
+
+Density net (4 layers, hidden 256, skip at 2) outputs [hidden | density];
+density has NO activation here — ReLU is applied inside the EA raymarcher
+(`density_relu: true`, configs/base.yaml:158). Radiance net (1 layer,
+hidden 128) consumes [hidden | harmonic(view_dir)] with a sigmoid for RGB.
+Optional viewpoint-independent feature head (disabled in the release model:
+holo_diffusion_model.py:157 forces feature_dim=0).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..geometry.harmonic import HarmonicEmbedding
+from .mlp import MLPWithInputSkips
+
+COLOUR_DIMS = 3
+
+
+class RenderMLP(nn.Module):
+    input_dims: int = 128
+    output_feature_dims: int = COLOUR_DIMS
+    output_vp_independent_feature_dims: int = 64
+    feat_emb_dims: int = 0
+    dir_emb_dims: int = 4
+    dnet_num_layers: int = 4
+    dnet_hidden_dim: int = 256
+    dnet_input_skips: Tuple[int, ...] = (2,)
+    rnet_num_layers: int = 1
+    rnet_hidden_dim: int = 128
+    rnet_input_skips: Tuple[int, ...] = ()
+    activation_fn: str = "LEAKYRELU"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self._feats_encoder = HarmonicEmbedding(self.feat_emb_dims)
+        self._dir_encoder = HarmonicEmbedding(self.dir_emb_dims)
+        self._density_net = MLPWithInputSkips(
+            n_layers=self.dnet_num_layers,
+            output_dim=self.dnet_hidden_dim + 1,  # +1 for density
+            hidden_dim=self.dnet_hidden_dim,
+            input_skips=self.dnet_input_skips,
+            hidden_activation=self.activation_fn,
+            last_activation="IDENTITY",
+            dtype=self.dtype,
+        )
+        self._radiance_net = MLPWithInputSkips(
+            n_layers=self.rnet_num_layers,
+            output_dim=self.output_feature_dims,
+            hidden_dim=self.rnet_hidden_dim,
+            input_skips=self.rnet_input_skips,
+            hidden_activation=self.activation_fn,
+            last_activation="IDENTITY",
+            dtype=self.dtype,
+        )
+        if self.output_vp_independent_feature_dims > 0:
+            self._feature_net = MLPWithInputSkips(
+                n_layers=self.rnet_num_layers,
+                output_dim=self.output_vp_independent_feature_dims,
+                hidden_dim=self.rnet_hidden_dim,
+                input_skips=self.rnet_input_skips,
+                hidden_activation=self.activation_fn,
+                last_activation="IDENTITY",
+                dtype=self.dtype,
+            )
+
+    def __call__(self, features: jnp.ndarray, view_dirs: jnp.ndarray):
+        """features: (..., input_dims); view_dirs: (..., 3) unit vectors.
+
+        Returns (densities (..., 1), radiance (..., out_dims),
+        vp_independent_features or None).
+        """
+        pe_features = self._feats_encoder(features)
+        out = self._density_net(pe_features)
+        mlp_feats, densities = out[..., :-1], out[..., -1:]
+
+        pe_viewdirs = self._dir_encoder(view_dirs)
+        radiance = self._radiance_net(
+            jnp.concatenate([mlp_feats, pe_viewdirs], axis=-1)
+        )
+        if self.output_feature_dims == COLOUR_DIMS:
+            radiance = nn.sigmoid(radiance)
+
+        vp_feats = None
+        if self.output_vp_independent_feature_dims > 0:
+            vp_feats = self._feature_net(mlp_feats)
+        return densities, radiance, vp_feats
+
+    def density(self, features: jnp.ndarray) -> jnp.ndarray:
+        """Density head only — used for normals via autodiff
+        (get_normals, holo_voxel_grid_implicit_function.py:131-145)."""
+        return self._density_net(self._feats_encoder(features))[..., -1:]
