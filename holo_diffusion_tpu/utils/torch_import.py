@@ -1,0 +1,185 @@
+"""Torch-checkpoint import shim: reference `.pth` state_dicts -> flax params.
+
+Enables pixel-level parity validation against reference checkpoints
+(SURVEY.md §7 "Checkpoint compatibility shim"; BASELINE.md north-star). Works
+on plain numpy-array dicts so tests can use .npz fixtures without torch.
+
+Layout conversions:
+  * Conv3d (O, I, kD, kH, kW)   -> flax Conv kernel (kD, kH, kW, I, O)
+  * Conv1d (O, I, 1)            -> flax Dense kernel (I, O)
+  * Linear (O, I)               -> flax Dense kernel (I, O)
+  * GroupNorm weight/bias       -> scale/bias
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _conv3d(w):
+    return np.transpose(w, (2, 3, 4, 1, 0))
+
+
+def _conv1d(w):
+    return np.transpose(w[..., 0], (1, 0))
+
+
+def _linear(w):
+    return np.transpose(w, (1, 0))
+
+
+def _strip_prefix(sd: Mapping[str, np.ndarray], prefix: str):
+    out = {}
+    for k, v in sd.items():
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = np.asarray(v)
+    return out if out else {k: np.asarray(v) for k, v in sd.items()}
+
+
+def convert_unet_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    num_res_blocks: int = 2,
+    channel_mult=(1, 1, 2, 4, 8),
+    attention_resolutions=(4, 8),
+) -> Dict:
+    """Map a reference SimpleUnet3D/UNetModel state_dict onto
+    `models.unet3d.UNetModel3D` params (same construction order as
+    unet.py:655-798; our block naming mirrors the torch indices).
+    """
+    sd = _strip_prefix(state_dict, "_net.")
+
+    params: Dict = {}
+
+    def put(path, leaf):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+
+    def conv(dst, src):
+        path = tuple(dst.split("."))
+        put(path + ("kernel",), _conv3d(sd[f"{src}.weight"]))
+        put(path + ("bias",), sd[f"{src}.bias"])
+
+    def gn(dst, src):
+        put((dst, "gn", "scale"), sd[f"{src}.weight"])
+        put((dst, "gn", "bias"), sd[f"{src}.bias"])
+
+    def dense(dst, src, conv1d=False):
+        w = sd[f"{src}.weight"]
+        put((dst, "kernel"), _conv1d(w) if conv1d else _linear(w))
+        put((dst, "bias"), sd[f"{src}.bias"])
+
+    def resblock(dst, src):
+        d = params.setdefault(dst, {})
+
+        def put_in(path, leaf):
+            node = d
+            for p in path[:-1]:
+                node = node.setdefault(p, {})
+            node[path[-1]] = leaf
+
+        put_in(("in_gn", "gn", "scale"), sd[f"{src}.in_layers.0.weight"])
+        put_in(("in_gn", "gn", "bias"), sd[f"{src}.in_layers.0.bias"])
+        put_in(("in_conv", "kernel"), _conv3d(sd[f"{src}.in_layers.2.weight"]))
+        put_in(("in_conv", "bias"), sd[f"{src}.in_layers.2.bias"])
+        put_in(("emb_dense", "kernel"), _linear(sd[f"{src}.emb_layers.1.weight"]))
+        put_in(("emb_dense", "bias"), sd[f"{src}.emb_layers.1.bias"])
+        put_in(("out_gn", "gn", "scale"), sd[f"{src}.out_layers.0.weight"])
+        put_in(("out_gn", "gn", "bias"), sd[f"{src}.out_layers.0.bias"])
+        put_in(("out_conv", "kernel"), _conv3d(sd[f"{src}.out_layers.3.weight"]))
+        put_in(("out_conv", "bias"), sd[f"{src}.out_layers.3.bias"])
+        if f"{src}.skip_connection.weight" in sd:
+            put_in(("skip_conv", "kernel"), _conv3d(sd[f"{src}.skip_connection.weight"]))
+            put_in(("skip_conv", "bias"), sd[f"{src}.skip_connection.bias"])
+
+    def attention(dst, src):
+        # AttentionBlock3D's norm is a GroupNorm32 submodule named "gn"
+        put((dst, "gn", "gn", "scale"), sd[f"{src}.norm.weight"])
+        put((dst, "gn", "gn", "bias"), sd[f"{src}.norm.bias"])
+        # qkv/proj are nn.Conv1d in torch (unet.py:383-391)
+        w = sd[f"{src}.qkv.weight"]
+        put((dst, "qkv", "kernel"), _conv1d(w))
+        put((dst, "qkv", "bias"), sd[f"{src}.qkv.bias"])
+        put((dst, "proj", "kernel"), _conv1d(sd[f"{src}.proj_out.weight"]))
+        put((dst, "proj", "bias"), sd[f"{src}.proj_out.bias"])
+
+    dense("time_dense_0", "time_embed.0")
+    dense("time_dense_1", "time_embed.2")
+    conv("in_conv", "input_blocks.0.0")
+
+    # encoder — mirror the torch construction loop (unet.py:661-714)
+    idx = 1
+    ds = 1
+    for level in range(len(channel_mult)):
+        for _ in range(num_res_blocks):
+            resblock(f"input_{idx}_res", f"input_blocks.{idx}.0")
+            if ds in attention_resolutions:
+                attention(f"input_{idx}_attn", f"input_blocks.{idx}.1")
+            idx += 1
+        if level != len(channel_mult) - 1:
+            conv(f"input_{idx}_down.conv", f"input_blocks.{idx}.0.op")
+            idx += 1
+            ds *= 2
+
+    resblock("middle_res_0", "middle_block.0")
+    attention("middle_attn", "middle_block.1")
+    resblock("middle_res_1", "middle_block.2")
+
+    # decoder (unet.py:743-790)
+    idx = 0
+    for level in reversed(range(len(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            resblock(f"output_{idx}_res", f"output_blocks.{idx}.0")
+            sub = 1
+            if ds in attention_resolutions:
+                attention(f"output_{idx}_attn", f"output_blocks.{idx}.{sub}")
+                sub += 1
+            if level and i == num_res_blocks:
+                conv(f"output_{idx}_up.conv", f"output_blocks.{idx}.{sub}.conv")
+                ds //= 2
+            idx += 1
+
+    gn("out_gn", "out.0")
+    conv("out_conv", "out.2")
+    return {"params": params}
+
+
+def convert_mlp_with_input_skips(
+    state_dict: Mapping[str, np.ndarray], prefix: str, n_layers: int
+) -> Dict:
+    """Map a reference MLPWithInputSkips (custom_modules.py:44-160):
+    `{prefix}.mlp.{i}.0.weight/bias` -> linear_{i}."""
+    out = {}
+    for i in range(n_layers):
+        out[f"linear_{i}"] = {
+            "kernel": _linear(np.asarray(state_dict[f"{prefix}.mlp.{i}.0.weight"])),
+            "bias": np.asarray(state_dict[f"{prefix}.mlp.{i}.0.bias"]),
+        }
+    return out
+
+
+def convert_render_mlp(
+    state_dict: Mapping[str, np.ndarray],
+    prefix: str = "",
+    dnet_num_layers: int = 4,
+    rnet_num_layers: int = 1,
+    has_feature_net: bool = False,
+) -> Dict:
+    """Map a reference RenderMLP (holo_voxel_grid_implicit_function.py:48-145)."""
+    p = prefix + "." if prefix and not prefix.endswith(".") else prefix
+    out = {
+        "_density_net": convert_mlp_with_input_skips(
+            state_dict, f"{p}_density_net", dnet_num_layers
+        ),
+        "_radiance_net": convert_mlp_with_input_skips(
+            state_dict, f"{p}_radiance_net", rnet_num_layers
+        ),
+    }
+    if has_feature_net:
+        out["_feature_net"] = convert_mlp_with_input_skips(
+            state_dict, f"{p}_feature_net", rnet_num_layers
+        )
+    return out
