@@ -1,0 +1,69 @@
+"""Unconditional voxel-grid sampling via the trained denoiser.
+
+Rebuild of `HoloDiffusionModel.sample_random_voxel_features[_progressive]`
+(reference: holo_diffusion_model.py:173-199). Lives outside the model forward
+so the 1000-step DDPM loop compiles once as a `lax.scan` (vs the reference's
+sequential python loop) and is never embedded in eval traces.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .models import diffusion as gd
+from .models.holo_model import HoloDiffusionModel
+
+
+def _model_fn(model: HoloDiffusionModel, params):
+    def fn(x, t):
+        return model.apply(params, x, t, method=HoloDiffusionModel.apply_net_3d)
+
+    return fn
+
+
+def _schedule(model: HoloDiffusionModel) -> gd.DiffusionSchedule:
+    keys = (
+        "schedule_name", "num_steps", "beta_start_unscaled",
+        "beta_end_unscaled", "model_mean_type", "model_var_type",
+    )
+    return gd.make_named_schedule(
+        **{k: v for k, v in (model.diffusion_args or {}).items() if k in keys}
+    )
+
+
+def sample_random_voxel_features(
+    model: HoloDiffusionModel,
+    params,
+    rng: jax.Array,
+    max_iter: Optional[int] = None,
+    use_ddim: bool = False,
+) -> jnp.ndarray:
+    """Full ancestral DDPM sampling -> (1, r, r, r, C) clipped to [-1, 1]."""
+    assert model.net_3d_enabled and model.diffusion_enabled
+    shape = (1, model.resol, model.resol, model.resol, model.feature_size)
+    sched = _schedule(model)
+    loop = gd.ddim_sample_loop if use_ddim else gd.p_sample_loop
+    kwargs = {} if use_ddim else {"max_iter": max_iter}
+    x = loop(sched, _model_fn(model, params), shape, rng, clip_denoised=True, **kwargs)
+    # clip like the reference's progressive generator (holo_diffusion_model.py:183-185)
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def sample_random_voxel_features_progressive(
+    model: HoloDiffusionModel,
+    params,
+    rng: jax.Array,
+    max_iter: Optional[int] = None,
+):
+    """Generator over intermediate samples, each clipped to [-1, 1] — drives
+    the progressive-denoise flyaround animation (flyaround.py:224-245)."""
+    assert model.net_3d_enabled and model.diffusion_enabled
+    shape = (1, model.resol, model.resol, model.resol, model.feature_size)
+    sched = _schedule(model)
+    for out in gd.p_sample_loop_progressive(
+        sched, _model_fn(model, params), shape, rng, clip_denoised=True,
+        max_iter=max_iter,
+    ):
+        yield jnp.clip(out["sample"], -1.0, 1.0)

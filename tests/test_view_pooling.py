@@ -1,0 +1,162 @@
+"""View pooling tests: feature extractor shapes, view sampler geometry,
+both aggregators, and unconditional sampling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from holo_diffusion_tpu.geometry import PerspectiveCameras, look_at_view_transform
+from holo_diffusion_tpu.models.feature_extractor import ResNetFeatureExtractor
+from holo_diffusion_tpu.models.view_pooler import (
+    AngleWeightedReductionFeatureAggregator,
+    MLPMeanFeatureAggregator,
+    ViewPooler,
+    point_to_camera_ray_dirs,
+    sample_view_features,
+)
+
+
+def _cams(n=3, dist=4.0):
+    R, T = look_at_view_transform(
+        dist=dist, elev=jnp.linspace(-20, 40, n), azim=jnp.linspace(0, 240, n)
+    )
+    return PerspectiveCameras(
+        R=R, T=T, focal_length=jnp.full((n, 2), 2.0), principal_point=jnp.zeros((n, 2))
+    )
+
+
+def test_feature_extractor_output_keys_and_shapes():
+    fe = ResNetFeatureExtractor(
+        name_arch="resnet18", stages=(1, 2), proj_dim=8, image_rescale=0.5
+    )
+    imgs = jnp.ones((2, 32, 32, 3)) * 0.5
+    masks = jnp.ones((2, 32, 32, 1))
+    vars_ = fe.init(jax.random.PRNGKey(0), imgs, masks)
+    out = fe.apply(vars_, imgs, masks)
+    assert set(out.keys()) == {"images", "masks", "res_layer_1", "res_layer_2"}
+    # rescale 0.5 -> 16, stem /2 -> 8, maxpool /2 -> 4 (layer1), /2 -> 2 (layer2)
+    assert out["res_layer_1"].shape == (2, 4, 4, 8)
+    assert out["res_layer_2"].shape == (2, 2, 2, 8)
+    # l2 normalized
+    norms = jnp.linalg.norm(out["res_layer_1"], axis=-1)
+    assert (norms <= 1.0 + 1e-4).all()
+    assert fe.get_feat_dims() == 2 * 8 + 1 + 3
+
+
+def test_view_sampler_projects_center_point():
+    """The look-at target (origin) projects to the image center in all views:
+    sampled feature == the center pixel value."""
+    cams = _cams(3)
+    H = W = 9
+    fmap = jnp.zeros((3, H, W, 3)).at[:, 4, 4, :].set(jnp.arange(3.0))
+    feats, masks = sample_view_features(
+        {"f": fmap}, cams, jnp.zeros((1, 3))
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats[:, 0]), np.broadcast_to([0.0, 1.0, 2.0], (3, 3)), atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(masks), 1.0)
+
+
+def test_view_sampler_behind_camera_masked():
+    cams = _cams(2, dist=2.0)
+    # a point far behind all cameras relative to look dir
+    from holo_diffusion_tpu.geometry.cameras import camera_centers
+
+    centers = camera_centers(cams)
+    behind = centers[0] * 3.0  # beyond the first camera, away from origin
+    feats, masks = sample_view_features(
+        {"f": jnp.ones((2, 8, 8, 2))}, cams, behind[None]
+    )
+    assert float(masks[0, 0, 0]) == 0.0  # behind first camera
+
+
+def test_angle_weighted_aggregator_prefers_near_views():
+    agg = AngleWeightedReductionFeatureAggregator()
+    cams = _cams(3)
+    pts = jnp.zeros((4, 3))
+    feats = jnp.stack(
+        [jnp.full((4, 2), 1.0), jnp.full((4, 2), 2.0), jnp.full((4, 2), 3.0)]
+    )
+    masks = jnp.ones((3, 4, 1))
+    out = agg.apply({}, feats, masks, cams, pts)
+    assert out.shape == (4, 4)  # AVG + STD of 2 dims
+    # view 0 is the reference -> highest weight -> mean biased toward 1.0
+    assert float(out[0, 0]) < 2.0
+
+
+def test_mlp_mean_aggregator_shapes_and_grad():
+    agg = MLPMeanFeatureAggregator(n_hidden=16, dim_out=24)
+    cams = _cams(3)
+    pts = jax.random.normal(jax.random.PRNGKey(0), (5, 3))
+    feats = jax.random.normal(jax.random.PRNGKey(1), (3, 5, 7))
+    masks = jnp.ones((3, 5, 1))
+    params = agg.init(jax.random.PRNGKey(2), feats, masks, cams, pts)
+    out = agg.apply(params, feats, masks, cams, pts)
+    assert out.shape == (5, 24)
+
+    def loss(p):
+        return jnp.sum(agg.apply(p, feats, masks, cams, pts) ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(jnp.isfinite(x).all() for x in jax.tree.leaves(g))
+    assert any(float(jnp.abs(x).sum()) > 0 for x in jax.tree.leaves(g))
+
+
+def test_view_pooler_mlp_mean_end_to_end():
+    vp = ViewPooler(
+        aggregator_class_type="MLPMeanFeatureAggregator",
+        aggregator_args=dict(n_hidden=16, dim_out=12),
+    )
+    cams = _cams(2)
+    feats = {"a": jnp.ones((2, 6, 6, 4)), "b": jnp.ones((2, 3, 3, 2))}
+    pts = jax.random.uniform(jax.random.PRNGKey(0), (10, 3), minval=-0.5, maxval=0.5)
+    params = vp.init(jax.random.PRNGKey(1), feats, cams, pts)
+    out = vp.apply(params, feats, cams, pts)
+    assert out.shape == (10, 12)
+    assert vp.get_aggregated_feature_dim(6) == 12
+
+
+def test_point_to_camera_ray_dirs_unit_and_direction():
+    cams = _cams(2)
+    from holo_diffusion_tpu.geometry.cameras import camera_centers
+
+    pts = jnp.array([[0.0, 0.0, 0.0]])
+    dirs = point_to_camera_ray_dirs(cams, pts)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(dirs), axis=-1), 1.0, atol=1e-5)
+    centers = np.asarray(camera_centers(cams))
+    expected = -centers / np.linalg.norm(centers, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(dirs[:, 0]), expected, atol=1e-5)
+
+
+def test_unconditional_sampling_tiny():
+    from holo_diffusion_tpu.models.holo_model import HoloDiffusionModel
+    from holo_diffusion_tpu.sampling import (
+        sample_random_voxel_features,
+        sample_random_voxel_features_progressive,
+    )
+
+    model = HoloDiffusionModel(
+        resol=4,
+        feature_size=32,
+        view_pooler_enabled=False,
+        net_3d_args=dict(
+            model_channels=32, num_res_blocks=1, channel_mult=(1,),
+            attention_resolutions=(), use_remat=False,
+        ),
+        diffusion_args=dict(num_steps=6, beta_start_unscaled=2e-5, beta_end_unscaled=4e-3),
+    )
+    v = jnp.zeros((1, 4, 4, 4, 32))
+    params = model.init(
+        jax.random.PRNGKey(0), v, jnp.zeros((1,), jnp.int32),
+        method=HoloDiffusionModel.apply_net_3d,
+    )
+    x = sample_random_voxel_features(model, params, jax.random.PRNGKey(1))
+    assert x.shape == (1, 4, 4, 4, 32)
+    assert (jnp.abs(x) <= 1.0).all() and jnp.isfinite(x).all()
+
+    steps = list(
+        sample_random_voxel_features_progressive(model, params, jax.random.PRNGKey(2))
+    )
+    assert len(steps) == 6
+    assert all((jnp.abs(s) <= 1.0).all() for s in steps)
