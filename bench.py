@@ -1,0 +1,139 @@
+"""Benchmark: denoise steps/sec/chip on the release-scale 3D UNet.
+
+Runs on the real TPU chip (the driver executes this at the end of each round).
+Headline metric matches BASELINE.md's north-star: DDPM denoise steps/sec/chip
+on the hydrant-scale denoiser (16^3 latent, 128-ch IO, model_channels 64,
+channel_mult (1,1,2,4,8), attention at ds 4/8 — configs/hydrant.yaml:220-245).
+Also reports rendered rays/sec for the volume-render path as an extra field.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+`vs_baseline` is null — the reference publishes no numbers (BASELINE.md);
+reference A100 measurements are future work.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _timeit(fn, *args, warmup=2, iters=10):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_denoise_step():
+    """One DDPM p_sample step (UNet fwd + posterior update), bf16 compute."""
+    from holo_diffusion_tpu.models import diffusion as gd
+    from holo_diffusion_tpu.models.unet3d import UNetModel3D
+
+    model = UNetModel3D(
+        in_channels=128,
+        model_channels=64,
+        out_channels=128,
+        num_res_blocks=2,
+        channel_mult=(1, 1, 2, 4, 8),
+        attention_resolutions=(4, 8),
+        num_heads=2,
+        use_remat=False,
+        dtype=jnp.bfloat16,
+    )
+    x = jnp.zeros((1, 16, 16, 16, 128))
+    t = jnp.zeros((1,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    sched = gd.make_named_schedule("linear", 1000)
+
+    @jax.jit
+    def p_sample_step(x, t, rng):
+        return gd.p_sample(
+            sched, lambda xx, tt: model.apply(params, xx, tt), x, t, rng
+        )["sample"]
+
+    rng = jax.random.PRNGKey(1)
+    dt = _timeit(p_sample_step, x, t, rng, warmup=3, iters=20)
+    return 1.0 / dt
+
+
+def bench_render_rays():
+    """Rendered rays/sec: two-pass EA render from a 64^3 x 64-feat grid,
+    1024 rays x (64+16+64) pts, RenderMLP hidden 256 (hydrant decoder)."""
+    from holo_diffusion_tpu.geometry import (
+        PerspectiveCameras,
+        look_at_view_transform,
+    )
+    from holo_diffusion_tpu.geometry.rays import sample_rays_from_mask
+    from holo_diffusion_tpu.models.implicit import VoxelGridImplicitFunction
+    from holo_diffusion_tpu.models.renderer import multipass_ea_render
+
+    n_views, n_rays, n_pts = 3, 1024, 64
+    R, T = look_at_view_transform(
+        dist=6.0, elev=jnp.linspace(0, 30, n_views), azim=jnp.linspace(0, 120, n_views)
+    )
+    cams = PerspectiveCameras(
+        R=R,
+        T=T,
+        focal_length=jnp.full((n_views, 2), 2.0),
+        principal_point=jnp.zeros((n_views, 2)),
+    )
+    fn = VoxelGridImplicitFunction(
+        resol=64,
+        volume_extent=8.0,
+        n_hidden=64,
+        render_mlp_args=dict(dnet_hidden_dim=256, rnet_hidden_dim=128),
+    )
+    grid = jax.random.normal(jax.random.PRNGKey(0), (64, 64, 64, 64), jnp.float32)
+    mask = jnp.ones((n_views, 64, 64))
+    params = None
+
+    @jax.jit
+    def render(grid, rng):
+        rb = sample_rays_from_mask(cams, mask, n_rays, n_pts, rng, scene_extent=4.0)
+        out = multipass_ea_render(
+            lambda p, d, i: fn.apply(params, grid, p, d),
+            rb,
+            n_pts_per_ray_fine=16,
+            rng=rng,
+            training=True,
+            num_passes=2,
+        )
+        return out.features
+
+    rb0 = sample_rays_from_mask(
+        cams, mask, n_rays, n_pts, jax.random.PRNGKey(1), scene_extent=4.0
+    )
+    from holo_diffusion_tpu.geometry.rays import ray_bundle_to_ray_points
+
+    pts0 = ray_bundle_to_ray_points(rb0)
+    params = fn.init(jax.random.PRNGKey(2), grid, pts0, rb0.directions)
+
+    dt = _timeit(render, grid, jax.random.PRNGKey(3), warmup=2, iters=10)
+    return n_views * n_rays / dt
+
+
+def main():
+    steps_per_sec = bench_denoise_step()
+    rays_per_sec = bench_render_rays()
+    print(
+        json.dumps(
+            {
+                "metric": "denoise_steps_per_sec_per_chip",
+                "value": round(steps_per_sec, 2),
+                "unit": "steps/s (16^3x128ch UNet, bf16)",
+                "vs_baseline": None,
+                "extra": {
+                    "rendered_rays_per_sec": round(rays_per_sec, 1),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

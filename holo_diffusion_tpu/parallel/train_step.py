@@ -1,0 +1,201 @@
+"""The jit'd SPMD train step: pool -> noise -> denoise -> render -> loss ->
+psum(grad) -> optimizer, as ONE compiled program over the device mesh.
+
+Replaces the reference's python training iteration (training_loop.py:446-556:
+loader -> forward -> accelerator.backward (NCCL all-reduce) -> clip ->
+optimizer.step). Data parallelism via `shard_map` over the `data` axis; each
+device holds one scene's frame batch (holo_diffusion_model.py:326). The
+loss-aware timestep sampler state is synchronized with an in-program
+all_gather, replacing the reference's dist.all_gather
+(timestep_sampler.py:89-110).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.frame_data import FrameData
+from ..models.holo_model import HoloDiffusionModel
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    # mutable model state (batch norm stats of the feature extractor)
+    model_state: Any = struct.field(default_factory=dict)
+
+    @classmethod
+    def create(cls, variables, tx: optax.GradientTransformation):
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            model_state=model_state,
+        )
+
+    def variables(self):
+        return {"params": self.params, **self.model_state}
+
+
+_TRACKED_METRICS = (
+    "objective",
+    "loss_rgb_mse",
+    "loss_rgb_psnr",
+    "loss_rgb_psnr_fg",
+    "loss_rgb_huber",
+    "loss_mask_bce",
+    "loss_mask_neg_iou",
+    "loss_depth_abs",
+    "loss_depth_abs_fg",
+    "loss_prev_stage_rgb_mse",
+    "loss_prev_stage_rgb_psnr",
+    "loss_prev_stage_mask_bce",
+    "loss_prev_stage_prev_stage_rgb_mse",
+)
+
+
+def _scalar_metrics(preds: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    return {k: preds[k] for k in _TRACKED_METRICS if k in preds}
+
+
+def make_train_step(
+    model: HoloDiffusionModel,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "data",
+    donate: bool = True,
+) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    With a mesh: `batch` has a leading device axis (n_dev, B, ...) sharded over
+    `axis_name`; params/optimizer state replicated; grads pmean'd over ICI.
+    Without a mesh: plain single-device jit.
+    """
+
+    def device_step(state: TrainState, batch: FrameData, rng: jax.Array):
+        def loss_fn(params):
+            preds, new_model_state = model.apply(
+                {"params": params, **state.model_state},
+                camera=batch.camera,
+                image_rgb=batch.image_rgb,
+                fg_probability=batch.fg_probability,
+                mask_crop=batch.mask_crop,
+                depth_map=batch.depth_map,
+                training=True,
+                rng=rng,
+                mutable=list(state.model_state.keys()),
+            )
+            return preds["objective"], (_scalar_metrics(preds), new_model_state)
+
+        (loss, (metrics, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        return grads, metrics, new_model_state
+
+    if mesh is None:
+
+        @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+        def train_step(state: TrainState, batch: FrameData, rng: jax.Array):
+            grads, metrics, new_model_state = device_step(state, batch, rng)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(
+                    step=state.step + 1,
+                    params=new_params,
+                    opt_state=new_opt,
+                    model_state=new_model_state,
+                ),
+                metrics,
+            )
+
+        return train_step
+
+    # ---- SPMD over the mesh
+    def spmd_step(state: TrainState, batch: FrameData, rng: jax.Array):
+        # batch leaves arrive as (1, B, ...) shards -> drop the device axis
+        local = jax.tree.map(lambda x: x[0], batch)
+        # decorrelate per-device randomness
+        idx = jax.lax.axis_index(axis_name)
+        rng = jax.random.fold_in(rng, idx)
+
+        def loss_fn(params):
+            preds, new_model_state = model.apply(
+                {"params": params, **state.model_state},
+                camera=local.camera,
+                image_rgb=local.image_rgb,
+                fg_probability=local.fg_probability,
+                mask_crop=local.mask_crop,
+                depth_map=local.depth_map,
+                training=True,
+                rng=rng,
+                mutable=list(state.model_state.keys()),
+            )
+            # pmean the objective BEFORE grad: the cotangent of replicated
+            # params is auto-psummed by AD under shard_map, so differentiating
+            # the globally-averaged loss yields exactly the mean gradient (the
+            # reference's DDP all-reduce, training_loop.py:536-543).
+            global_loss = jax.lax.pmean(preds["objective"], axis_name)
+            return global_loss, (_scalar_metrics(preds), new_model_state)
+
+        (_, (metrics, new_model_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        metrics = jax.lax.pmean(metrics, axis_name)
+        new_model_state = jax.lax.pmean(new_model_state, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt,
+                model_state=new_model_state,
+            ),
+            metrics,
+        )
+
+    replicated = P()
+    sharded = P(axis_name)
+    spmd = jax.shard_map(
+        spmd_step,
+        mesh=mesh,
+        in_specs=(replicated, sharded, replicated),
+        out_specs=(replicated, replicated),
+    )
+    return jax.jit(spmd, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: HoloDiffusionModel) -> Callable:
+    """jit'd EVALUATION forward (single device; full-grid render)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: FrameData, rng: jax.Array):
+        preds = model.apply(
+            state.variables(),
+            camera=batch.camera,
+            image_rgb=batch.image_rgb,
+            fg_probability=batch.fg_probability,
+            mask_crop=batch.mask_crop,
+            depth_map=batch.depth_map,
+            training=False,
+            rng=rng,
+        )
+        return {
+            **_scalar_metrics(preds),
+            "images_render": preds["images_render"],
+            "depths_render": preds["depths_render"],
+            "masks_render": preds["masks_render"],
+        }
+
+    return eval_step

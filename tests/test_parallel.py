@@ -1,0 +1,183 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: SPMD train step,
+gradient psum equivalence, optimizer factory, loss-aware sampler sync."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from holo_diffusion_tpu.data import FrameData, make_synthetic_scene
+from holo_diffusion_tpu.models.holo_model import HoloDiffusionModel
+from holo_diffusion_tpu.parallel import (
+    TrainState,
+    make_mesh,
+    make_train_step,
+    shard_batch,
+)
+from holo_diffusion_tpu.train import make_lr_schedule, make_optimizer
+
+TINY = dict(
+    resol=4,
+    volume_extent=3.0,
+    feature_size=32,
+    num_passes=2,
+    n_train_target_views=1,
+    n_pts_per_ray_training=8,
+    n_pts_per_ray_fine_training=4,
+    n_rays_per_image=32,
+    render_image_height=8,
+    render_image_width=8,
+    scene_extent=1.2,
+    net_3d_args=dict(
+        model_channels=32, num_res_blocks=1, channel_mult=(1,),
+        attention_resolutions=(), use_remat=False,
+    ),
+    diffusion_args=dict(num_steps=8, beta_start_unscaled=2e-6, beta_end_unscaled=4e-4),
+    image_feature_extractor_args=dict(
+        name_arch="resnet18", stages=(1,), proj_dim=4, image_rescale=0.5
+    ),
+    render_mlp_args=dict(dnet_hidden_dim=16, rnet_hidden_dim=16),
+)
+
+
+def _stacked_scenes(n_dev, n_views=3, image_size=16):
+    scenes = [
+        make_synthetic_scene(n_views=n_views, image_size=image_size, seed=i)
+        for i in range(n_dev)
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = make_synthetic_scene(n_views=3, image_size=16)
+    model = HoloDiffusionModel(**TINY)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        camera=scene.camera,
+        image_rgb=scene.image_rgb,
+        fg_probability=scene.fg_probability,
+        mask_crop=scene.mask_crop,
+        training=True,
+        rng=jax.random.PRNGKey(1),
+    )
+    tx = make_optimizer(breed="Adam", lr=1e-4)
+    return model, variables, tx
+
+
+def test_spmd_train_step_runs_on_mesh(setup):
+    model, variables, tx = setup
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    state = TrainState.create(variables, tx)
+    batch = shard_batch(_stacked_scenes(8), mesh)
+    step = make_train_step(model, tx, mesh=mesh, donate=False)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert int(new_state.step) == 1
+    assert jnp.isfinite(metrics["objective"])
+    # params actually changed
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
+    )
+    assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_spmd_grads_equal_mean_of_per_device_grads(setup):
+    """psum(grad)/n must equal the average of single-device grads."""
+    model, variables, tx = setup
+    mesh = make_mesh(n_devices=2)
+    state = TrainState.create(variables, tx)
+    stacked = _stacked_scenes(2)
+
+    # reference: average of per-scene single-device updates' grads
+    def single_grads(scene_idx, rng):
+        local = jax.tree.map(lambda x: x[scene_idx], stacked)
+
+        def loss_fn(params):
+            preds = model.apply(
+                {"params": params, **state.model_state},
+                camera=local.camera,
+                image_rgb=local.image_rgb,
+                fg_probability=local.fg_probability,
+                mask_crop=local.mask_crop,
+                training=True,
+                rng=rng,
+                mutable=list(state.model_state.keys()),
+            )[0]
+            return preds["objective"]
+
+        return jax.grad(loss_fn)(state.params)
+
+    rng = jax.random.PRNGKey(7)
+    g0 = single_grads(0, jax.random.fold_in(rng, 0))
+    g1 = single_grads(1, jax.random.fold_in(rng, 1))
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2, g0, g1)
+
+    # SPMD step with SGD lr=1 -> new_params = params - g_mean
+    sgd = optax.sgd(1.0)
+    st = TrainState.create(variables, sgd)
+    step = make_train_step(model, sgd, mesh=mesh, donate=False)
+    batch = shard_batch(stacked, mesh)
+    new_state, _ = step(st, batch, rng)
+    expected = jax.tree.map(lambda p, g: p - g, st.params, g_mean)
+    for a, b in zip(jax.tree.leaves(new_state.params), jax.tree.leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_single_device_step_matches_api(setup):
+    model, variables, tx = setup
+    state = TrainState.create(variables, tx)
+    scene = make_synthetic_scene(n_views=3, image_size=16)
+    step = make_train_step(model, tx, mesh=None, donate=False)
+    new_state, metrics = step(state, scene, jax.random.PRNGKey(3))
+    assert jnp.isfinite(metrics["objective"])
+
+
+def test_lr_schedules():
+    s = make_lr_schedule(1e-3, "MultiStepLR", gamma=0.1, multistep_lr_milestones=[2],
+                         steps_per_epoch=10)
+    assert float(s(0)) == pytest.approx(1e-3)
+    assert float(s(25)) == pytest.approx(1e-4)
+    s = make_lr_schedule(1e-3, "Exponential", gamma=0.1, exponential_lr_step_size=10,
+                         steps_per_epoch=1)
+    assert float(s(10)) == pytest.approx(1e-4)
+    s = make_lr_schedule(
+        1e-3, "LinearExponential", gamma=0.1,
+        linear_exponential_lr_milestone=10, max_epochs=110, steps_per_epoch=1,
+        linear_exponential_start_gamma=0.1,
+    )
+    assert float(s(0)) == pytest.approx(1e-4)
+    assert float(s(10)) == pytest.approx(1e-3)
+    assert float(s(110)) == pytest.approx(1e-4, rel=1e-3)
+
+
+def test_loss_aware_sampler_sync_across_devices():
+    """The all-gathered (t, loss) update must be identical on every device."""
+    from holo_diffusion_tpu.models import diffusion as gd
+
+    mesh = make_mesh(n_devices=4)
+    state = gd.LossSecondMomentState.create(8, history_per_term=2)
+
+    def update(state, ts, losses):
+        all_ts = jax.lax.all_gather(ts, "data").reshape(-1)
+        all_losses = jax.lax.all_gather(losses, "data").reshape(-1)
+        # mark the replicated state as device-varying so the scan carry types
+        # match the all-gathered (varying) inputs
+        state = jax.tree.map(lambda x: jax.lax.pcast(x, ("data",), to="varying"), state)
+        return gd.loss_aware_update(state, all_ts, all_losses)
+
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.jit(
+        jax.shard_map(
+            update,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=P(),
+            check_vma=False,  # the gathered update is replicated by construction
+        )
+    )
+    ts = jnp.arange(8, dtype=jnp.int32) % 8
+    losses = jnp.linspace(0.1, 1.0, 8)
+    new_state = fn(state, ts, losses)
+    assert int(jnp.sum(new_state.loss_counts)) == 8
