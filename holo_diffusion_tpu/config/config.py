@@ -1,0 +1,270 @@
+"""Config system: the reference's YAML key surface without the Implicitron
+registry machinery.
+
+Keeps compatibility with the reference's config files (SURVEY.md §2.7):
+hydra-style `--config-name` + dotted CLI overrides (experiment.py:17-19,321),
+`<member>_<ClassType>_args` nesting, and the `expconfig.yaml` snapshot dump
+(experiment.py:305-313) used by inference re-hydration
+(checkpoint_utils.py:17-37). Internally everything becomes plain kwargs for
+our constructors — pure functions + pytrees instead of a plugin registry.
+"""
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+_CONFIG_DIR = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def _deep_update(base: Dict, upd: Dict) -> Dict:
+    for k, v in upd.items():
+        if isinstance(v, dict) and isinstance(base.get(k), dict):
+            _deep_update(base[k], v)
+        else:
+            base[k] = v
+    return base
+
+
+def load_config(
+    config_name: str,
+    overrides: Optional[List[str]] = None,
+    config_dir: Optional[str] = None,
+) -> Dict[str, Any]:
+    """Load `<config_dir>/<config_name>[.yaml]` + dotted overrides.
+
+    `config_name` may also be an absolute/relative path to a YAML file.
+    """
+    config_dir = config_dir or _CONFIG_DIR
+    path = config_name
+    if not os.path.exists(path):
+        if not path.endswith(".yaml"):
+            path = path + ".yaml"
+        if not os.path.exists(path):
+            path = os.path.join(config_dir, path if path.endswith(".yaml") else path)
+            if not os.path.exists(path):
+                path = os.path.join(
+                    config_dir,
+                    config_name if config_name.endswith(".yaml") else config_name + ".yaml",
+                )
+    with open(path) as f:
+        cfg = yaml.safe_load(f) or {}
+    # single-parent inheritance (cleaner than the reference's full dumps;
+    # category configs extend hydrant.yaml with a handful of deltas)
+    parent = cfg.pop("_extends_", None)
+    if parent:
+        base = load_config(parent, config_dir=os.path.dirname(path) or config_dir)
+        cfg = _deep_update(base, cfg)
+    if overrides:
+        apply_dotted_overrides(cfg, overrides)
+    return cfg
+
+
+def apply_dotted_overrides(cfg: Dict[str, Any], overrides: List[str]) -> Dict[str, Any]:
+    """Apply `a.b.c=value` overrides (values parsed as YAML literals)."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value, got {ov!r}")
+        key, _, raw = ov.partition("=")
+        value = yaml.safe_load(raw)
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return cfg
+
+
+def dump_expconfig(cfg: Dict[str, Any], exp_dir: str) -> str:
+    """Snapshot the resolved config to `exp_dir/expconfig.yaml`
+    (experiment.py:305-313)."""
+    os.makedirs(exp_dir, exist_ok=True)
+    path = os.path.join(exp_dir, "expconfig.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# reference-surface -> constructor-kwargs translators
+# ---------------------------------------------------------------------------
+
+
+def _model_cfg(cfg: Dict) -> Dict:
+    mf = cfg.get("model_factory_ImplicitronModelFactory_args", {})
+    return mf.get("model_HoloDiffusionModel_args", {})
+
+
+def model_args_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference `model_HoloDiffusionModel_args` -> HoloDiffusionModel kwargs."""
+    m = copy.deepcopy(_model_cfg(cfg))
+
+    rays = m.get("raysampler_AdaptiveRaySampler_args", {})
+    rend = m.get("renderer_HoloMultiPassEmissionAbsorptionRenderer_args", {})
+    raym = rend.get("raymarcher_EmissionAbsorptionRaymarcher_args", {})
+    fe = m.get("image_feature_extractor_ResNetFeatureExtractor_args", {})
+    impl = m.get("implicit_function_HoloVoxelGridImplicitFunction_args", {})
+    diff = m.get("diffusion_args", {})
+    vp = m.get("view_pooler_args", {})
+
+    agg_type = m.get(
+        "feature_aggregator_class_type",
+        vp.get("feature_aggregator_class_type", "AngleWeightedReductionFeatureAggregator"),
+    )
+    agg_args_key = f"feature_aggregator_{agg_type}_args"
+    agg_args = vp.get(agg_args_key, m.get(agg_args_key, {})) or {}
+    # drop reference-only switches we hard-disable like the reference does
+    # (holo_diffusion_model.py:114-116)
+    for k in ("exclude_target_view", "exclude_target_view_mask_features",
+              "concatenate_output", "checkpointed_mlp"):
+        agg_args.pop(k, None)
+
+    args: Dict[str, Any] = dict(
+        resol=m.get("resol", 16),
+        volume_extent=m.get("volume_extent", 8.0),
+        feature_size=m.get("feature_size", 64),
+        num_passes=m.get("num_passes", 2),
+        render_image_height=m.get("render_image_height", 256),
+        render_image_width=m.get("render_image_width", 256),
+        output_rasterized_mc=m.get("output_rasterized_mc", True),
+        mask_images=m.get("mask_images", True),
+        mask_depths=m.get("mask_depths", True),
+        mask_threshold=m.get("mask_threshold", 0.5),
+        bg_color=tuple(m.get("bg_color", (1.0, 1.0, 1.0))),
+        n_train_target_views=m.get("n_train_target_views", 6),
+        sampling_mode_training=m.get("sampling_mode_training", "mask_sample"),
+        sampling_mode_evaluation=m.get("sampling_mode_evaluation", "full_grid"),
+        chunk_size_grid=m.get("chunk_size_grid", 0),
+        net_3d_enabled=m.get("net_3d_enabled", True),
+        diffusion_enabled=m.get("diffusion_enabled", True),
+        enable_bootstrap=m.get("enable_bootstrap", True),
+        bootstrap_prob=m.get("bootstrap_prob", 0.5),
+        loss_weights=m.get("loss_weights"),
+        # ray sampler
+        n_pts_per_ray_training=rays.get("n_pts_per_ray_training", 64),
+        n_pts_per_ray_evaluation=rays.get("n_pts_per_ray_evaluation", 64),
+        n_rays_per_image=rays.get("n_rays_per_image_sampled_from_mask", 1024),
+        stratified_point_sampling_training=rays.get(
+            "stratified_point_sampling_training", True
+        ),
+        stratified_point_sampling_evaluation=rays.get(
+            "stratified_point_sampling_evaluation", False
+        ),
+        scene_extent=rays.get("scene_extent", 4.0),
+        scene_center=tuple(rays.get("scene_center", (0.0, 0.0, 0.0))),
+        # renderer + raymarcher
+        n_pts_per_ray_fine_training=rend.get("n_pts_per_ray_fine_training", 16),
+        n_pts_per_ray_fine_evaluation=rend.get("n_pts_per_ray_fine_evaluation", 16),
+        append_coarse_samples_to_fine=rend.get("append_coarse_samples_to_fine", True),
+        density_noise_std_train=rend.get("density_noise_std_train", 1.0),
+        surface_thickness=raym.get("surface_thickness", 1),
+        background_opacity=raym.get("background_opacity", 1e10),
+        density_relu=raym.get("density_relu", True),
+        # view pooling
+        view_pooler_enabled=m.get("view_pooler_enabled", True),
+        image_feature_extractor_args=dict(
+            name_arch=fe.get("name", "resnet34"),
+            stages=tuple(fe.get("stages", (1, 2, 3, 4))),
+            normalize_image=fe.get("normalize_image", True),
+            image_rescale=fe.get("image_rescale", 0.32),
+            first_max_pool=fe.get("first_max_pool", True),
+            proj_dim=fe.get("proj_dim", 16),
+            l2_norm=fe.get("l2_norm", True),
+            add_masks=fe.get("add_masks", True),
+            add_images=fe.get("add_images", True),
+            feature_rescale=fe.get("feature_rescale", 1.0),
+        ),
+        view_pooler_args=dict(
+            aggregator_class_type=agg_type,
+            aggregator_args=agg_args,
+            masked_sampling=vp.get("view_sampler_args", {}).get(
+                "masked_sampling", False
+            ),
+        ),
+        # implicit function
+        render_normals=impl.get("render_normals", False),
+        render_mlp_args=impl.get("render_mlp_args", None),
+    )
+    if m.get("net_3d_enabled", True):
+        net = m.get("net_3d_SimpleUnet3D_args", {})
+        args["net_3d_args"] = dict(
+            model_channels=net.get("model_channels", 64),
+            num_res_blocks=net.get("num_res_blocks", 2),
+            num_heads=net.get("num_heads", 2),
+            channel_mult=tuple(net.get("channel_mult", (1, 1, 2, 4, 8))),
+            attention_resolutions=tuple(net.get("attention_resolutions", (4, 8))),
+            dropout=net.get("dropout", 0.0),
+            homogeneous_resample=net.get("homogeneous_resample", True),
+        )
+    if m.get("diffusion_enabled", True):
+        args["diffusion_args"] = dict(
+            schedule_name=diff.get("beta_schedule_type", "linear"),
+            num_steps=diff.get("num_steps", 1000),
+            beta_start_unscaled=diff.get("beta_start_unscaled", 1e-4),
+            beta_end_unscaled=diff.get("beta_end_unscaled", 0.02),
+            model_mean_type=diff.get("model_mean_type", "START_X"),
+            model_var_type=diff.get("model_var_type", "FIXED_SMALL"),
+        )
+    return args
+
+
+def optimizer_args_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    o = cfg.get("optimizer_factory_ImplicitronOptimizerFactory_args", {})
+    return dict(
+        breed=o.get("breed", "Adam"),
+        lr=o.get("lr", 5e-5),
+        betas=tuple(o.get("betas", (0.9, 0.999))),
+        momentum=o.get("momentum", 0.9),
+        weight_decay=o.get("weight_decay", 0.0),
+        lr_policy=o.get("lr_policy", "MultiStepLR"),
+        gamma=o.get("gamma", 0.1),
+        multistep_lr_milestones=o.get("multistep_lr_milestones", []),
+        exponential_lr_step_size=o.get("exponential_lr_step_size", 250),
+        linear_exponential_lr_milestone=o.get("linear_exponential_lr_milestone", 200),
+        linear_exponential_start_gamma=o.get("linear_exponential_start_gamma", 0.1),
+        group_learning_rates=o.get("group_learning_rates", {}) or None,
+    )
+
+
+def training_loop_args_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    t = cfg.get("training_loop_ImplicitronTrainingLoop_args", {})
+    return dict(
+        eval_only=t.get("eval_only", False),
+        max_epochs=t.get("max_epochs", 1000),
+        store_checkpoints=t.get("store_checkpoints", True),
+        store_checkpoints_purge=t.get("store_checkpoints_purge", 1),
+        test_interval=t.get("test_interval", -1),
+        test_when_finished=t.get("test_when_finished", False),
+        validation_interval=t.get("validation_interval", 1),
+        clip_grad=t.get("clip_grad", 0.0),
+        metric_print_interval=t.get("metric_print_interval", 5),
+        visualize_interval=t.get("visualize_interval", 100),
+    )
+
+
+def data_source_args_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    d = cfg.get("data_source_ImplicitronDataSource_args", {})
+    dm = d.get("dataset_map_provider_JsonIndexDatasetMapProviderV2_args", {})
+    ds = dm.get("dataset_JsonIndexDataset_args", {})
+    dl = d.get("data_loader_map_provider_SequenceDataLoaderMapProvider_args", {})
+    return dict(
+        category=dm.get("category", "teddybear"),
+        subset_name=dm.get("subset_name", "fewview_dev"),
+        dataset_root=dm.get("dataset_root", ds.get("dataset_root", "")),
+        test_on_train=dm.get("test_on_train", True),
+        image_height=ds.get("image_height", 800),
+        image_width=ds.get("image_width", 800),
+        box_crop=ds.get("box_crop", True),
+        box_crop_mask_thr=ds.get("box_crop_mask_thr", 0.4),
+        box_crop_context=ds.get("box_crop_context", 0.3),
+        load_depths=ds.get("load_depths", True),
+        load_masks=ds.get("load_masks", True),
+        remove_empty_masks=ds.get("remove_empty_masks", True),
+        n_frames_per_sequence=ds.get("n_frames_per_sequence", -1),
+        batch_size=dl.get("batch_size", 16),
+        dataset_length_train=dl.get("dataset_length_train", 500),
+        dataset_length_val=dl.get("dataset_length_val", 5),
+        num_workers=dl.get("num_workers", 5),
+    )

@@ -1,0 +1,93 @@
+"""Data sources: same-sequence batch loaders feeding FrameData to the model.
+
+Rebuild of Implicitron's SequenceDataLoaderMapProvider contract (reference
+configs/base.yaml:59-71): every batch contains `batch_size` frames FROM ONE
+SEQUENCE (conditioning SAME, images_per_seq_options=[batch_size]) — the
+model's static target/source split relies on it (holo_model.py).
+
+Providers:
+  * SyntheticDataProvider — analytic sphere scenes (no external data);
+  * CO3DDataProvider — CO3Dv2 jgz annotations (data/co3d.py).
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .frame_data import FrameData
+from .synthetic import make_synthetic_scene
+
+
+class SceneDataset:
+    """A list of scenes; each scene is a FrameData holding all its views."""
+
+    def __init__(self, scenes: List[FrameData]):
+        self.scenes = scenes
+
+    def __len__(self):
+        return len(self.scenes)
+
+    def sample_batch(self, rng: np.random.RandomState, batch_size: int) -> FrameData:
+        """One same-sequence batch: `batch_size` frames of one random scene
+        (with replacement when the scene has fewer frames)."""
+        scene = self.scenes[rng.randint(len(self.scenes))]
+        n = scene.batch_size
+        replace = n < batch_size
+        idx = rng.choice(n, size=min(batch_size, n) if not replace else batch_size,
+                         replace=replace)
+        return jax.tree.map(lambda x: x[jnp.asarray(idx)], scene)
+
+
+class SyntheticDataProvider:
+    def __init__(
+        self,
+        n_scenes: int = 8,
+        n_views_per_scene: int = 8,
+        image_size: int = 64,
+        seed: int = 0,
+        **_,
+    ):
+        self.train = SceneDataset(
+            [
+                make_synthetic_scene(n_views_per_scene, image_size, seed=seed + i)
+                for i in range(n_scenes)
+            ]
+        )
+        # val reuses held-out seeds
+        self.val = SceneDataset(
+            [
+                make_synthetic_scene(n_views_per_scene, image_size, seed=seed + 1000 + i)
+                for i in range(max(1, n_scenes // 4))
+            ]
+        )
+
+
+def epoch_loader(
+    dataset: SceneDataset,
+    batch_size: int,
+    n_batches: int,
+    seed: int,
+) -> Iterator[FrameData]:
+    """Deterministic per-epoch batch stream (the reference reseeds every epoch
+    with seed + epoch, training_loop.py:232-234 — pass that seed here)."""
+    rng = np.random.RandomState(seed)
+    for _ in range(n_batches):
+        yield dataset.sample_batch(rng, batch_size)
+
+
+def device_batched_loader(
+    dataset: SceneDataset,
+    batch_size: int,
+    n_batches: int,
+    seed: int,
+    n_devices: int,
+) -> Iterator[FrameData]:
+    """Stacks `n_devices` independent same-sequence batches along a leading
+    device axis for the SPMD train step (one scene per device)."""
+    rng = np.random.RandomState(seed)
+    for _ in range(n_batches):
+        batches = [dataset.sample_batch(rng, batch_size) for _ in range(n_devices)]
+        yield jax.tree.map(lambda *xs: jnp.stack(xs), *batches)

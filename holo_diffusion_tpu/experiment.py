@@ -1,0 +1,212 @@
+"""Experiment: config -> model/optimizer/data/loop -> run.
+
+Rebuild of the reference's `Experiment` + `ImplicitronTrainingLoop`
+(experiment.py:108-290, trainer/training_loop.py:47-712) without the
+Implicitron registry: plain constructors driven by the same YAML surface.
+
+Training runs as ONE jit'd SPMD step over a `data` mesh (scene-per-device DP,
+SURVEY.md §2.9) instead of DDP; resume-by-default finds the last epoch
+checkpoint and restores model+optimizer+stats (SURVEY.md §3.5).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (
+    data_source_args_from_config,
+    dump_expconfig,
+    model_args_from_config,
+    optimizer_args_from_config,
+    training_loop_args_from_config,
+)
+from .data.source import SyntheticDataProvider, device_batched_loader, epoch_loader
+from .models.holo_model import HoloDiffusionModel
+from .parallel import TrainState, make_eval_step, make_mesh, make_train_step, shard_batch
+from .parallel.mesh import replicate
+from .train import make_lr_schedule, make_optimizer
+from .train.checkpoint import find_last_checkpoint, restore_checkpoint, save_checkpoint
+from .train.stats import Stats
+
+logger = logging.getLogger(__name__)
+
+
+def seed_all_random_engines(seed: int):
+    """np/python seeding (trainer/utils.py:24-27); jax PRNG is explicit."""
+    import random
+
+    np.random.seed(seed)
+    random.seed(seed)
+
+
+class Experiment:
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+        self.seed = cfg.get("seed", 42)
+        self.exp_dir = cfg.get("exp_dir", "./experiments/run")
+        seed_all_random_engines(self.seed)
+
+        self.model_args = model_args_from_config(cfg)
+        self.model = HoloDiffusionModel(**self.model_args)
+        self.opt_args = optimizer_args_from_config(cfg)
+        self.loop_args = training_loop_args_from_config(cfg)
+        self.data_args = data_source_args_from_config(cfg)
+        self.data = self._build_data_source()
+
+        self.batch_size = self.data_args["batch_size"]
+        self.n_batches_train = max(
+            1, self.data_args["dataset_length_train"] // self.batch_size
+        )
+        self.n_batches_val = max(
+            1, self.data_args["dataset_length_val"] // max(self.batch_size, 1)
+        )
+
+        sched = make_lr_schedule(
+            lr=self.opt_args["lr"],
+            lr_policy=self.opt_args["lr_policy"],
+            gamma=self.opt_args["gamma"],
+            multistep_lr_milestones=self.opt_args["multistep_lr_milestones"],
+            exponential_lr_step_size=self.opt_args["exponential_lr_step_size"],
+            linear_exponential_lr_milestone=self.opt_args[
+                "linear_exponential_lr_milestone"
+            ],
+            linear_exponential_start_gamma=self.opt_args[
+                "linear_exponential_start_gamma"
+            ],
+            max_epochs=self.loop_args["max_epochs"],
+            steps_per_epoch=self.n_batches_train,
+        )
+        self.tx = make_optimizer(
+            breed=self.opt_args["breed"],
+            lr=self.opt_args["lr"],
+            betas=self.opt_args["betas"],
+            momentum=self.opt_args["momentum"],
+            weight_decay=self.opt_args["weight_decay"],
+            clip_grad=self.loop_args["clip_grad"],
+            schedule=sched,
+            group_learning_rates=self.opt_args["group_learning_rates"],
+        )
+
+    # ------------------------------------------------------------------
+    def _build_data_source(self):
+        ds_cfg = self.cfg.get("data_source_ImplicitronDataSource_args", {})
+        provider = ds_cfg.get("dataset_map_provider_class_type",
+                              "JsonIndexDatasetMapProviderV2")
+        if provider == "SyntheticDataProvider":
+            args = ds_cfg.get("dataset_map_provider_SyntheticDataProvider_args", {})
+            return SyntheticDataProvider(seed=self.seed, **args)
+        # CO3Dv2
+        from .data.co3d import CO3DDataProvider
+
+        return CO3DDataProvider(**self.data_args)
+
+    def init_state(self) -> TrainState:
+        sample = self.data.train.sample_batch(
+            np.random.RandomState(self.seed), self.batch_size
+        )
+        variables = self.model.init(
+            jax.random.PRNGKey(self.seed),
+            camera=sample.camera,
+            image_rgb=sample.image_rgb,
+            fg_probability=sample.fg_probability,
+            mask_crop=sample.mask_crop,
+            training=True,
+            rng=jax.random.PRNGKey(self.seed + 1),
+        )
+        n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
+        logger.info(f"model has {n_params / 1e6:.2f}M params")
+        return TrainState.create(variables, self.tx)
+
+    # ------------------------------------------------------------------
+    def run(self, max_epochs: Optional[int] = None, use_mesh: bool = True):
+        os.makedirs(self.exp_dir, exist_ok=True)
+        dump_expconfig(self.cfg, self.exp_dir)
+
+        mesh = make_mesh() if (use_mesh and jax.device_count() > 1) else None
+        n_dev = mesh.devices.size if mesh is not None else 1
+
+        state = self.init_state()
+        stats = Stats.load_or_new(os.path.join(self.exp_dir, "train_stats.json"))
+        start_epoch = 0
+        mf = self.cfg.get("model_factory_ImplicitronModelFactory_args", {})
+        if mf.get("resume", True):
+            restored, ep = restore_checkpoint(
+                self.exp_dir, state, mf.get("resume_epoch", -1)
+            )
+            if restored is not None:
+                state, start_epoch = restored, ep + 1
+                logger.info(f"resumed from epoch {ep}")
+            elif mf.get("force_resume", False):
+                raise FileNotFoundError(
+                    f"force_resume: no checkpoint in {self.exp_dir}"
+                )
+
+        if mesh is not None:
+            state = replicate(state, mesh)
+        train_step = make_train_step(self.model, self.tx, mesh=mesh, donate=True)
+        eval_step = make_eval_step(self.model)
+
+        max_epochs = max_epochs or self.loop_args["max_epochs"]
+        print_interval = self.loop_args["metric_print_interval"]
+        val_interval = self.loop_args["validation_interval"]
+        stats.epoch = start_epoch - 1
+
+        for epoch in range(start_epoch, max_epochs):
+            # per-epoch reseed (training_loop.py:232-234)
+            seed_all_random_engines(self.seed + epoch)
+            stats.new_epoch()
+            rng = jax.random.PRNGKey(self.seed + epoch)
+
+            n_host_batches = max(1, self.n_batches_train // n_dev)
+            if mesh is not None:
+                loader = device_batched_loader(
+                    self.data.train, self.batch_size, n_host_batches,
+                    self.seed + epoch, n_dev,
+                )
+            else:
+                loader = epoch_loader(
+                    self.data.train, self.batch_size, n_host_batches,
+                    self.seed + epoch,
+                )
+            for it, batch in enumerate(loader):
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = train_step(state, batch, step_rng)
+                stats.update({k: v for k, v in metrics.items()}, "train")
+                if print_interval and it % print_interval == 0:
+                    logger.info(stats.status_line("train"))
+
+            # validation epoch (EVALUATION mode, training_loop.py:253-265)
+            if (
+                val_interval > 0
+                and epoch % val_interval == 0
+                and not self.cfg.get("disable_validation", False)
+            ):
+                for batch in epoch_loader(
+                    self.data.val, self.batch_size, self.n_batches_val,
+                    self.seed + epoch,
+                ):
+                    rng, step_rng = jax.random.split(rng)
+                    out = eval_step(state, batch, step_rng)
+                    stats.update(
+                        {k: v for k, v in out.items() if jnp.ndim(v) == 0}, "val"
+                    )
+                logger.info(stats.status_line("val"))
+
+            stats.finalize_epoch()
+            if self.loop_args["store_checkpoints"]:
+                save_checkpoint(
+                    self.exp_dir,
+                    epoch,
+                    state,
+                    stats,
+                    purge=self.loop_args["store_checkpoints_purge"],
+                )
+        return state, stats

@@ -1,0 +1,153 @@
+"""Config system + Experiment integration tests (synthetic data, 8-device
+CPU mesh): full train loop with checkpoint save / resume."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from holo_diffusion_tpu.config import (
+    apply_dotted_overrides,
+    load_config,
+    model_args_from_config,
+    optimizer_args_from_config,
+)
+from holo_diffusion_tpu.experiment import Experiment
+
+
+def test_load_config_and_overrides():
+    cfg = load_config("hydrant.yaml")
+    m = model_args_from_config(cfg)
+    assert m["resol"] == 16
+    assert m["feature_size"] == 64
+    assert m["n_train_target_views"] == 3
+    assert m["n_pts_per_ray_fine_training"] == 64
+    assert m["render_normals"] is True
+    assert m["view_pooler_args"]["aggregator_class_type"] == "MLPMeanFeatureAggregator"
+    assert m["net_3d_args"]["channel_mult"] == (1, 1, 2, 4, 8)
+    assert m["diffusion_args"]["num_steps"] == 1000
+    o = optimizer_args_from_config(cfg)
+    assert o["lr"] == 4e-5 and o["breed"] == "Adam"
+
+    cfg2 = load_config(
+        "hydrant.yaml",
+        ["model_factory_ImplicitronModelFactory_args."
+         "model_HoloDiffusionModel_args.resol=32",
+         "seed=7"],
+    )
+    assert model_args_from_config(cfg2)["resol"] == 32
+    assert cfg2["seed"] == 7
+
+
+def test_config_inheritance_category():
+    cfg = load_config("apple.yaml")
+    m = model_args_from_config(cfg)
+    assert m["render_image_width"] == 256
+    assert m["n_train_target_views"] == 10
+    assert (
+        m["view_pooler_args"]["aggregator_class_type"]
+        == "AngleWeightedReductionFeatureAggregator"
+    )
+    assert m["view_pooler_args"]["aggregator_args"]["reduction_functions"] == [
+        "AVG",
+        "STD",
+    ]
+    # inherits hydrant's optimizer + renderer settings
+    assert m["n_pts_per_ray_fine_training"] == 64
+    d = cfg["data_source_ImplicitronDataSource_args"]
+    assert (
+        d["dataset_map_provider_JsonIndexDatasetMapProviderV2_args"]["category"]
+        == "apple"
+    )
+
+
+def test_unet_with_no_diffusion_config():
+    cfg = load_config("unet_with_no_diffusion.yaml")
+    m = model_args_from_config(cfg)
+    assert m["diffusion_enabled"] is False
+    assert m["net_3d_enabled"] is True
+
+
+def _tiny_synthetic_cfg(tmp_path):
+    cfg = load_config("synthetic_debug.yaml")
+    apply_dotted_overrides(
+        cfg,
+        [
+            f"exp_dir={tmp_path}/exp",
+            "data_source_ImplicitronDataSource_args."
+            "dataset_map_provider_SyntheticDataProvider_args.n_scenes=2",
+            "data_source_ImplicitronDataSource_args."
+            "dataset_map_provider_SyntheticDataProvider_args.image_size=16",
+            "data_source_ImplicitronDataSource_args."
+            "dataset_map_provider_SyntheticDataProvider_args.n_views_per_scene=4",
+            "data_source_ImplicitronDataSource_args."
+            "data_loader_map_provider_SequenceDataLoaderMapProvider_args.batch_size=3",
+            "data_source_ImplicitronDataSource_args."
+            "data_loader_map_provider_SequenceDataLoaderMapProvider_args.dataset_length_train=6",
+            "data_source_ImplicitronDataSource_args."
+            "data_loader_map_provider_SequenceDataLoaderMapProvider_args.dataset_length_val=3",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.resol=4",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.feature_size=32",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.render_image_width=16",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.render_image_height=16",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.n_train_target_views=1",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.raysampler_AdaptiveRaySampler_args."
+            "n_pts_per_ray_training=8",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.raysampler_AdaptiveRaySampler_args."
+            "n_rays_per_image_sampled_from_mask=16",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.raysampler_AdaptiveRaySampler_args."
+            "n_pts_per_ray_evaluation=8",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args."
+            "renderer_HoloMultiPassEmissionAbsorptionRenderer_args."
+            "n_pts_per_ray_fine_training=4",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args."
+            "renderer_HoloMultiPassEmissionAbsorptionRenderer_args."
+            "n_pts_per_ray_fine_evaluation=4",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.net_3d_SimpleUnet3D_args.channel_mult=[1]",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.net_3d_SimpleUnet3D_args.attention_resolutions=[]",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.diffusion_args.num_steps=8",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.diffusion_args.beta_start_unscaled=8.0e-7",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.diffusion_args.beta_end_unscaled=1.6e-4",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.image_feature_extractor_ResNetFeatureExtractor_args.stages=[1]",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.image_feature_extractor_ResNetFeatureExtractor_args.proj_dim=4",
+        ],
+    )
+    return cfg
+
+
+@pytest.mark.slow
+def test_experiment_train_resume(tmp_path):
+    cfg = _tiny_synthetic_cfg(tmp_path)
+    exp = Experiment(cfg)
+    state, stats = exp.run(max_epochs=2, use_mesh=True)
+    assert stats.epoch == 1
+    assert os.path.exists(os.path.join(exp.exp_dir, "expconfig.yaml"))
+    assert os.path.exists(os.path.join(exp.exp_dir, "train_stats.json"))
+    from holo_diffusion_tpu.train.checkpoint import find_last_checkpoint
+
+    found = find_last_checkpoint(exp.exp_dir)
+    assert found is not None and found[0] == 1
+
+    # resume-by-default continues at epoch 2
+    exp2 = Experiment(cfg)
+    state2, stats2 = exp2.run(max_epochs=3, use_mesh=True)
+    assert int(state2.step) > int(2)  # continued past restored steps
+    found2 = find_last_checkpoint(exp.exp_dir)
+    assert found2[0] == 2
