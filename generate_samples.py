@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Sample CLI — parity with the reference `generate_samples.py`: generate N
+unconditional samples from a trained checkpoint and render fly-around videos.
+
+    python generate_samples.py exp_dir=./experiments/hydrant_release \
+        num_samples=10 render_size=[256,256] output_directory=./samples \
+        progressive_sampling_steps_per_render=-1
+"""
+import argparse
+import logging
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("kwargs", nargs="*", help="key=value args (OmegaConf-CLI style)")
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    import yaml
+
+    opts = {}
+    for kv in args.kwargs:
+        k, _, v = kv.partition("=")
+        opts[k] = yaml.safe_load(v)
+
+    exp_dir = opts.pop("exp_dir")
+    num_samples = opts.pop("num_samples", 3)
+    output_directory = opts.pop("output_directory", os.path.join(exp_dir, "samples"))
+    render_size = opts.pop("render_size", [256, 256])
+    n_flyaround_poses = opts.pop("n_flyaround_poses", 40)
+    trajectory_distance = opts.pop("trajectory_distance", 15.0)
+    progressive = opts.pop("progressive_sampling_steps_per_render", -1)
+    save_voxel_features = opts.pop("save_voxel_features", False)
+    seed = opts.pop("seed", 0)
+    video_fps = opts.pop("video_fps", 20)
+    if opts:
+        raise ValueError(f"unknown args: {list(opts)}")
+
+    import jax
+
+    from holo_diffusion_tpu.utils.checkpoint_utils import load_experiment
+    from holo_diffusion_tpu.utils.flyaround import render_flyaround
+
+    exp, state = load_experiment(exp_dir, render_size=tuple(render_size))
+    model = exp.model
+    assert model.net_3d_enabled and model.diffusion_enabled, (
+        "generate_samples requires a diffusion model "
+        "(generate_samples.py:90-92 in the reference)"
+    )
+    params = state.variables()
+
+    for i in range(num_samples):
+        name = f"sample_{i:05d}"
+        out = render_flyaround(
+            model,
+            params,
+            os.path.join(output_directory, name),
+            sample_mode=True,
+            n_flyaround_poses=n_flyaround_poses,
+            trajectory_distance=trajectory_distance,
+            rng=jax.random.PRNGKey(seed + i),
+            progressive_sampling_steps_per_render=progressive,
+            video_fps=video_fps,
+            save_voxel_features=save_voxel_features,
+        )
+        logging.info(f"{name}: {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,389 @@
+"""CO3Dv2 dataset loader.
+
+TPU-native rebuild of the used subset of Implicitron's
+JsonIndexDatasetMapProviderV2 / JsonIndexDataset + SequenceDataLoaderMapProvider
+(reference config surface: configs/base.yaml:23-70 — frame/sequence `.jgz`
+annotations, `set_lists/set_lists_{subset}.json` splits, box-crop by mask
+(thr 0.4, context 0.3), square resize, same-sequence batches, fg masks,
+depth maps). Host-side numpy/PIL pipeline feeding device-sharded FrameData.
+
+Camera conventions: CO3D stores pytorch3d cameras with NDC intrinsics in
+either "ndc_norm_image_bounds" (per-axis) or "ndc_isotropic" (min-side)
+format; we convert everything to isotropic square NDC (our PerspectiveCameras
+convention) and rewrite intrinsics through the box crop + resize.
+"""
+from __future__ import annotations
+
+import gzip
+import json
+import logging
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.cameras import PerspectiveCameras
+from .frame_data import FrameData
+from .source import SceneDataset
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class CO3DFrame:
+    sequence_name: str
+    frame_number: int
+    frame_timestamp: float
+    image_path: str
+    image_size_hw: Tuple[int, int]
+    mask_path: Optional[str]
+    depth_path: Optional[str]
+    depth_scale_adjustment: float
+    R: np.ndarray  # (3, 3)
+    T: np.ndarray  # (3,)
+    focal_length: np.ndarray  # (2,) NDC (isotropic)
+    principal_point: np.ndarray  # (2,) NDC (isotropic)
+
+
+def _to_isotropic_ndc(
+    focal: np.ndarray, pp: np.ndarray, size_hw: Tuple[int, int], fmt: str
+):
+    """Convert CO3D viewpoint intrinsics to isotropic (min-side) NDC."""
+    H, W = size_hw
+    if fmt == "ndc_isotropic":
+        return focal, pp
+    # ndc_norm_image_bounds: each axis normalized by its own half-extent
+    s = min(H, W)
+    scale = np.array([W / s, H / s], np.float64)
+    return focal * scale, pp * scale
+
+
+def load_frame_annotations(category_root: str) -> List[CO3DFrame]:
+    """Parse `{category}/frame_annotations.jgz`."""
+    path = os.path.join(category_root, "frame_annotations.jgz")
+    with gzip.open(path, "rt") as f:
+        raw = json.load(f)
+    frames = []
+    for fa in raw:
+        vp = fa["viewpoint"]
+        size_hw = tuple(fa["image"]["size"])
+        focal = np.asarray(vp["focal_length"], np.float64)
+        pp = np.asarray(vp["principal_point"], np.float64)
+        fmt = vp.get("intrinsics_format", "ndc_norm_image_bounds")
+        focal, pp = _to_isotropic_ndc(focal, pp, size_hw, fmt)
+        depth = fa.get("depth") or {}
+        mask = fa.get("mask") or {}
+        frames.append(
+            CO3DFrame(
+                sequence_name=fa["sequence_name"],
+                frame_number=fa["frame_number"],
+                frame_timestamp=fa.get("frame_timestamp", 0.0),
+                image_path=fa["image"]["path"],
+                image_size_hw=size_hw,
+                mask_path=mask.get("path"),
+                depth_path=depth.get("path"),
+                depth_scale_adjustment=depth.get("scale_adjustment", 1.0),
+                R=np.asarray(vp["R"], np.float32),
+                T=np.asarray(vp["T"], np.float32),
+                focal_length=focal.astype(np.float32),
+                principal_point=pp.astype(np.float32),
+            )
+        )
+    return frames
+
+
+def load_set_lists(category_root: str, subset_name: str) -> Dict[str, List]:
+    path = os.path.join(
+        category_root, "set_lists", f"set_lists_{subset_name}.json"
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# image loading + box crop
+# ---------------------------------------------------------------------------
+
+
+def mask_bbox(mask: np.ndarray, thr: float = 0.4) -> Optional[Tuple[int, int, int, int]]:
+    """Tight (x0, y0, x1, y1) box around mask > thr (exclusive upper)."""
+    ys, xs = np.where(mask > thr)
+    if len(xs) == 0:
+        return None
+    return int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1
+
+
+def expand_bbox(
+    box: Tuple[int, int, int, int], context: float, size_hw: Tuple[int, int]
+) -> Tuple[int, int, int, int]:
+    """Grow the box by `context` * its size on each side, clamp to the image
+    (box_crop_context, configs/base.yaml:52)."""
+    H, W = size_hw
+    x0, y0, x1, y1 = box
+    w, h = x1 - x0, y1 - y0
+    dx, dy = int(round(w * context)), int(round(h * context))
+    return (
+        max(0, x0 - dx),
+        max(0, y0 - dy),
+        min(W, x1 + dx),
+        min(H, y1 + dy),
+    )
+
+
+def crop_intrinsics(
+    focal: np.ndarray,
+    pp: np.ndarray,
+    orig_hw: Tuple[int, int],
+    box: Tuple[int, int, int, int],
+):
+    """Rewrite isotropic-NDC intrinsics through a pixel-space crop.
+
+    Derivation: with half-scale s = min(H, W) / 2 and pixel center c, the
+    projection in pixels is x_px = c_x - s * (f * X/Z + p). A crop changes
+    (c, s) -> (c', s'); matching x_px gives
+      f' = f * s / s',   p' = (p * s + (c' - c)) / s'   (x sign flipped).
+    """
+    H, W = orig_hw
+    x0, y0, x1, y1 = box
+    s = min(H, W) / 2.0
+    s2 = min(y1 - y0, x1 - x0) / 2.0
+    c = np.array([(W - 1) / 2.0, (H - 1) / 2.0])
+    c2 = np.array([(x0 + x1 - 1) / 2.0, (y0 + y1 - 1) / 2.0])
+    # matching x_px = c_x - s*(f*u + p) inside the crop gives:
+    focal2 = focal * s / s2
+    pp2 = pp * (s / s2) + (c2 - c) / s2
+    return focal2.astype(np.float32), pp2.astype(np.float32)
+
+
+def _load_image(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.float32) / 255.0
+
+
+def _load_mask(path: str) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("L"), np.float32) / 255.0
+
+
+def _load_depth(path: str, scale: float) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(path) as im:
+        d = np.asarray(im)
+    if d.dtype == np.uint16:
+        # CO3D depth: float16 bits stored in a uint16 png
+        d = d.view(np.float16).astype(np.float32)
+    else:
+        d = d.astype(np.float32)
+    return d * scale
+
+
+def _resize(img: np.ndarray, hw: Tuple[int, int], nearest: bool = False) -> np.ndarray:
+    from PIL import Image
+
+    H, W = hw
+    mode = Image.NEAREST if nearest else Image.BILINEAR
+    if img.ndim == 2:
+        pil = Image.fromarray(img)
+        return np.asarray(pil.resize((W, H), mode), np.float32)
+    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    return np.asarray(pil.resize((W, H), mode), np.float32) / 255.0
+
+
+def load_frame_data(
+    frame: CO3DFrame,
+    dataset_root: str,
+    image_height: int = 800,
+    image_width: int = 800,
+    box_crop: bool = True,
+    box_crop_mask_thr: float = 0.4,
+    box_crop_context: float = 0.3,
+    load_depths: bool = True,
+):
+    """Load one frame: image/mask/depth cropped to the fg box and resized to a
+    square; intrinsics rewritten through the crop. Returns dict of numpy."""
+    img = _load_image(os.path.join(dataset_root, frame.image_path))
+    H0, W0 = img.shape[:2]
+    mask = (
+        _load_mask(os.path.join(dataset_root, frame.mask_path))
+        if frame.mask_path
+        else np.ones((H0, W0), np.float32)
+    )
+    depth = None
+    if load_depths and frame.depth_path:
+        try:
+            depth = _load_depth(
+                os.path.join(dataset_root, frame.depth_path),
+                frame.depth_scale_adjustment,
+            )
+        except Exception:
+            depth = None
+
+    focal, pp = frame.focal_length.copy(), frame.principal_point.copy()
+    if box_crop:
+        box = mask_bbox(mask, box_crop_mask_thr)
+        if box is not None:
+            box = expand_bbox(box, box_crop_context, (H0, W0))
+            # square crop (the reference resizes the box crop to a square
+            # image; keep the box as-is and resize anisotropically only when
+            # the target is square — NDC stays isotropic on the min side)
+            x0, y0, x1, y1 = box
+            img = img[y0:y1, x0:x1]
+            mask = mask[y0:y1, x0:x1]
+            if depth is not None:
+                depth = depth[y0:y1, x0:x1]
+            focal, pp = crop_intrinsics(focal, pp, (H0, W0), box)
+
+    # pad to square before resize so isotropic NDC stays valid
+    h, w = img.shape[:2]
+    if h != w:
+        size = max(h, w)
+        pad_y, pad_x = (size - h) // 2, (size - w) // 2
+        def pad(a, fill=0.0):
+            out = np.full((size, size) + a.shape[2:], fill, a.dtype)
+            out[pad_y:pad_y + h, pad_x:pad_x + w] = a
+            return out
+        # intrinsics through the pad: old center lands at pad + (wh-1)/2
+        s_old = min(h, w) / 2.0
+        s_new = size / 2.0
+        c_old_in_new = np.array([pad_x + (w - 1) / 2.0, pad_y + (h - 1) / 2.0])
+        c_new = np.array([(size - 1) / 2.0, (size - 1) / 2.0])
+        focal = focal * s_old / s_new
+        pp = pp * (s_old / s_new) + (c_old_in_new - c_new) / s_new
+        img, mask = pad(img), pad(mask)
+        if depth is not None:
+            depth = pad(depth)
+
+    img = _resize(img, (image_height, image_width))
+    mask = _resize(mask, (image_height, image_width))
+    if depth is not None:
+        depth = _resize(depth, (image_height, image_width), nearest=True)
+    else:
+        depth = np.zeros((image_height, image_width), np.float32)
+
+    return dict(
+        image_rgb=img,
+        fg_probability=mask[..., None],
+        mask_crop=np.ones_like(mask)[..., None],
+        depth_map=depth[..., None],
+        R=frame.R,
+        T=frame.T,
+        focal_length=focal,
+        principal_point=pp,
+    )
+
+
+class CO3DSceneDataset(SceneDataset):
+    """Lazy per-sequence dataset: scenes loaded on first access, cached."""
+
+    def __init__(
+        self,
+        frames_by_seq: Dict[str, List[CO3DFrame]],
+        dataset_root: str,
+        load_kwargs: dict,
+        max_frames_per_seq: int = -1,
+    ):
+        self._frames_by_seq = frames_by_seq
+        self._seq_names = sorted(frames_by_seq)
+        self._root = dataset_root
+        self._load_kwargs = load_kwargs
+        self._max_frames = max_frames_per_seq
+        self._cache: Dict[str, FrameData] = {}
+
+    def __len__(self):
+        return len(self._seq_names)
+
+    @property
+    def scenes(self):
+        return [self.get_scene(i) for i in range(len(self))]
+
+    def get_scene(self, idx: int) -> FrameData:
+        name = self._seq_names[idx]
+        if name not in self._cache:
+            frames = self._frames_by_seq[name]
+            if self._max_frames > 0:
+                frames = frames[: self._max_frames]
+            loaded = [
+                load_frame_data(f, self._root, **self._load_kwargs) for f in frames
+            ]
+            batch = {
+                k: np.stack([d[k] for d in loaded]) for k in loaded[0]
+            }
+            self._cache[name] = FrameData(
+                camera=PerspectiveCameras(
+                    R=jnp.asarray(batch["R"]),
+                    T=jnp.asarray(batch["T"]),
+                    focal_length=jnp.asarray(batch["focal_length"]),
+                    principal_point=jnp.asarray(batch["principal_point"]),
+                ),
+                image_rgb=jnp.asarray(batch["image_rgb"]),
+                fg_probability=jnp.asarray(batch["fg_probability"]),
+                mask_crop=jnp.asarray(batch["mask_crop"]),
+                depth_map=jnp.asarray(batch["depth_map"]),
+                sequence_id=jnp.full((len(loaded),), idx, jnp.int32),
+            )
+        return self._cache[name]
+
+    def sample_batch(self, rng: np.random.RandomState, batch_size: int) -> FrameData:
+        scene = self.get_scene(rng.randint(len(self)))
+        n = scene.batch_size
+        idx = rng.choice(n, size=batch_size, replace=n < batch_size)
+        return jax.tree.map(lambda x: x[jnp.asarray(idx)], scene)
+
+
+class CO3DDataProvider:
+    """JsonIndexDatasetMapProviderV2 equivalent: category + subset split."""
+
+    def __init__(
+        self,
+        category: str,
+        dataset_root: str,
+        subset_name: str = "fewview_dev",
+        test_on_train: bool = True,
+        image_height: int = 800,
+        image_width: int = 800,
+        box_crop: bool = True,
+        box_crop_mask_thr: float = 0.4,
+        box_crop_context: float = 0.3,
+        load_depths: bool = True,
+        remove_empty_masks: bool = True,
+        n_frames_per_sequence: int = -1,
+        **_,
+    ):
+        category_root = os.path.join(dataset_root, category)
+        frames = load_frame_annotations(category_root)
+        by_key = {(f.sequence_name, f.frame_number): f for f in frames}
+        set_lists = load_set_lists(category_root, subset_name)
+
+        load_kwargs = dict(
+            image_height=image_height,
+            image_width=image_width,
+            box_crop=box_crop,
+            box_crop_mask_thr=box_crop_mask_thr,
+            box_crop_context=box_crop_context,
+            load_depths=load_depths,
+        )
+
+        def build(split: str) -> CO3DSceneDataset:
+            by_seq: Dict[str, List[CO3DFrame]] = {}
+            for entry in set_lists.get(split, []):
+                seq, frame_num = entry[0], entry[1]
+                f = by_key.get((seq, frame_num))
+                if f is not None:
+                    by_seq.setdefault(seq, []).append(f)
+            return CO3DSceneDataset(
+                by_seq, dataset_root, load_kwargs, n_frames_per_sequence
+            )
+
+        self.train = build("train")
+        self.val = build("train" if test_on_train else "val")
+        logger.info(
+            f"CO3D {category}/{subset_name}: {len(self.train)} train sequences"
+        )

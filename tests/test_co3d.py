@@ -1,0 +1,152 @@
+"""CO3D loader tests against a generated fake dataset: annotation parsing,
+box-crop intrinsics consistency, split handling, same-sequence batching."""
+import gzip
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from holo_diffusion_tpu.data.co3d import (
+    CO3DDataProvider,
+    crop_intrinsics,
+    expand_bbox,
+    mask_bbox,
+)
+from holo_diffusion_tpu.geometry import (
+    PerspectiveCameras,
+    look_at_view_transform,
+    project_points_ndc,
+)
+
+
+def _make_fake_co3d(root, category="toycat", n_seq=2, n_frames=4, H=80, W=100):
+    """Fake CO3Dv2 tree: blob images centered on the projection of the world
+    origin, fg masks, ndc_isotropic viewpoints."""
+    cat_dir = os.path.join(root, category)
+    os.makedirs(os.path.join(cat_dir, "set_lists"), exist_ok=True)
+    annos = []
+    set_lists = {"train": [], "val": [], "test": []}
+    rng = np.random.RandomState(0)
+    for si in range(n_seq):
+        seq = f"seq_{si:03d}"
+        for fi in range(n_frames):
+            R, T = look_at_view_transform(
+                dist=4.0, elev=rng.uniform(-20, 30), azim=rng.uniform(0, 360)
+            )
+            focal = np.array([2.0, 2.0], np.float32)
+            pp = np.array([0.1, -0.05], np.float32)
+            cam = PerspectiveCameras(
+                R=R, T=T,
+                focal_length=jnp.asarray(focal)[None],
+                principal_point=jnp.asarray(pp)[None],
+            )
+            ndc = np.asarray(
+                project_points_ndc(cam, jnp.zeros((1, 1, 3)))
+            )[0, 0]
+            s = min(H, W) / 2.0
+            cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+            px = int(round(cx - s * ndc[0]))
+            py = int(round(cy - s * ndc[1]))
+
+            img = np.zeros((H, W, 3), np.uint8)
+            mask = np.zeros((H, W), np.uint8)
+            r = 9
+            img[max(0, py - r):py + r, max(0, px - r):px + r] = (255, 30, 30)
+            mask[max(0, py - r):py + r, max(0, px - r):px + r] = 255
+
+            img_rel = f"{category}/{seq}/images/frame{fi:06d}.png"
+            mask_rel = f"{category}/{seq}/masks/frame{fi:06d}.png"
+            os.makedirs(os.path.dirname(os.path.join(root, img_rel)), exist_ok=True)
+            os.makedirs(os.path.dirname(os.path.join(root, mask_rel)), exist_ok=True)
+            Image.fromarray(img).save(os.path.join(root, img_rel))
+            Image.fromarray(mask).save(os.path.join(root, mask_rel))
+
+            annos.append(
+                {
+                    "sequence_name": seq,
+                    "frame_number": fi,
+                    "frame_timestamp": float(fi),
+                    "image": {"path": img_rel, "size": [H, W]},
+                    "mask": {"path": mask_rel},
+                    "viewpoint": {
+                        "R": np.asarray(R)[0].tolist(),
+                        "T": np.asarray(T)[0].tolist(),
+                        "focal_length": focal.tolist(),
+                        "principal_point": pp.tolist(),
+                        "intrinsics_format": "ndc_isotropic",
+                    },
+                }
+            )
+            set_lists["train"].append([seq, fi, img_rel])
+    with gzip.open(os.path.join(cat_dir, "frame_annotations.jgz"), "wt") as f:
+        json.dump(annos, f)
+    with open(
+        os.path.join(cat_dir, "set_lists", "set_lists_fewview_dev.json"), "w"
+    ) as f:
+        json.dump(set_lists, f)
+    return category
+
+
+def test_mask_bbox_and_expand():
+    m = np.zeros((20, 30))
+    m[5:10, 8:16] = 1.0
+    box = mask_bbox(m, 0.4)
+    assert box == (8, 5, 16, 10)
+    big = expand_bbox(box, 0.5, (20, 30))
+    assert big == (4, 3, 20, 12)  # round(2.5) -> 2 (banker rounding)
+    assert mask_bbox(np.zeros((4, 4))) is None
+
+
+def test_crop_intrinsics_preserves_projection():
+    """A world point must land on the same *content pixel* before and after
+    the crop rewrite."""
+    H, W = 80, 100
+    focal = np.array([2.0, 2.3])
+    pp = np.array([0.07, -0.1])
+    box = (10, 5, 74, 69)  # 64x64 crop
+    f2, p2 = crop_intrinsics(focal, pp, (H, W), box)
+    # a bundle of ndc points -> pixels (orig) -> pixels (crop frame)
+    for u, v in [(0.0, 0.0), (0.2, -0.3), (-0.4, 0.1)]:
+        s = min(H, W) / 2.0
+        x_px = (W - 1) / 2.0 - s * (focal[0] * u + pp[0])
+        y_px = (H - 1) / 2.0 - s * (focal[1] * v + pp[1])
+        h2, w2 = box[3] - box[1], box[2] - box[0]
+        s2 = min(h2, w2) / 2.0
+        x_px2 = (w2 - 1) / 2.0 - s2 * (f2[0] * u + p2[0])
+        y_px2 = (h2 - 1) / 2.0 - s2 * (f2[1] * v + p2[1])
+        np.testing.assert_allclose(x_px2, x_px - box[0], atol=1e-6)
+        np.testing.assert_allclose(y_px2, y_px - box[1], atol=1e-6)
+
+
+def test_co3d_provider_loads_fake_dataset(tmp_path):
+    root = str(tmp_path)
+    cat = _make_fake_co3d(root)
+    provider = CO3DDataProvider(
+        category=cat,
+        dataset_root=root,
+        subset_name="fewview_dev",
+        image_height=64,
+        image_width=64,
+        box_crop=True,
+    )
+    assert len(provider.train) == 2
+    scene = provider.train.get_scene(0)
+    assert scene.image_rgb.shape == (4, 64, 64, 3)
+    assert scene.fg_probability.shape == (4, 64, 64, 1)
+    # the blob (projection of the world origin) must cover the loaded camera's
+    # projection of the origin — crop+resize intrinsics consistency
+    ndc = np.asarray(project_points_ndc(scene.camera, jnp.zeros((4, 1, 3))))
+    for i in range(4):
+        x, y = ndc[i, 0, 0], ndc[i, 0, 1]
+        px = int(round((64 - 1) / 2.0 - 32 * x))
+        py = int(round((64 - 1) / 2.0 - 32 * y))
+        assert 0 <= px < 64 and 0 <= py < 64
+        assert float(scene.fg_probability[i, py, px, 0]) > 0.5, (i, px, py)
+
+    # same-sequence batches
+    batch = provider.train.sample_batch(np.random.RandomState(0), 3)
+    assert batch.image_rgb.shape[0] == 3
+    assert len(set(np.asarray(batch.sequence_id).tolist())) == 1
