@@ -447,6 +447,10 @@ class HoloDiffusionModel(nn.Module):
             )
             preds["depths_render"] = rendered.depths.reshape(n_targets, H, W, 1)
             preds["masks_render"] = rendered.masks.reshape(n_targets, H, W, 1)
+            if rendered.normals is not None:
+                preds["normals_render"] = rendered.normals.reshape(
+                    n_targets, H, W, 3
+                )
 
         weights = (
             self.loss_weights if self.loss_weights is not None else DEFAULT_LOSS_WEIGHTS

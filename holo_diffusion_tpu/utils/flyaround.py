@@ -29,6 +29,7 @@ from ..sampling import (
     sample_random_voxel_features,
     sample_random_voxel_features_progressive,
 )
+from .shaded_depth import depth_to_shaded, shaded_from_normals
 from .video import VideoWriter
 
 logger = logging.getLogger(__name__)
@@ -259,6 +260,19 @@ def render_flyaround(
         depth = np.asarray(preds["depths_render"][0, ..., 0])
         dmax = depth.max() + 1e-6
         add_frame("depths_render", np.repeat((depth / dmax)[..., None], 3, axis=-1))
+        # shaded depth (flyaround.py:439-470): normals-based when the model
+        # renders normals, depth-derived otherwise
+        mask2d = jnp.asarray(preds["masks_render"][0, ..., 0])
+        if "normals_render" in preds:
+            shaded = shaded_from_normals(
+                jnp.asarray(preds["normals_render"][0]), mask2d, cam,
+                jnp.asarray(preds["depths_render"][0, ..., 0]),
+            )
+        else:
+            shaded = depth_to_shaded(
+                jnp.asarray(preds["depths_render"][0, ..., 0]), mask2d, cam
+            )
+        add_frame("shaded_depth_render", shaded)
 
     out_paths = {k: vw.get_video() for k, vw in streams.items()}
     if save_voxel_features and sample_mode:

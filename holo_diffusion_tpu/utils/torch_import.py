@@ -183,3 +183,92 @@ def convert_render_mlp(
             state_dict, f"{p}_feature_net", rnet_num_layers
         )
     return out
+
+
+def convert_resnet_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    layers=(3, 4, 6, 3),
+    stages=(1, 2, 3, 4),
+    prefix: str = "",
+) -> Dict:
+    """Map a torchvision resnet18/34 state_dict onto
+    `models.feature_extractor.ResNetFeatureExtractor` variables — imports the
+    ImageNet-pretrained stem the reference uses (`pretrained: true`,
+    hydrant.yaml:168). Returns {"params": ..., "batch_stats": ...}; the
+    projection convs (proj_layer{i}) are NOT in torchvision and keep their
+    random init — merge with an `init`ed variable tree via `merge_params`.
+
+    torchvision keys: conv1, bn1, layer{i}.{j}.conv{1,2}, .bn{1,2},
+    .downsample.{0,1}.
+    """
+    sd = {k[len(prefix):]: np.asarray(v) for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    params: Dict = {}
+    stats: Dict = {}
+
+    def conv2d(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    def put_conv(dst, src):
+        params[dst] = {"kernel": conv2d(sd[f"{src}.weight"])}
+
+    def put_bn(dst, src):
+        params[dst] = {"scale": sd[f"{src}.weight"], "bias": sd[f"{src}.bias"]}
+        stats[dst] = {
+            "mean": sd[f"{src}.running_mean"],
+            "var": sd[f"{src}.running_var"],
+        }
+
+    put_conv("stem_conv", "conv1")
+    put_bn("stem_bn", "bn1")
+    max_stage = max(stages)
+    for li, n_blocks in enumerate(layers, start=1):
+        if li > max_stage:
+            break
+        for bi in range(n_blocks):
+            blk: Dict = {}
+            bst: Dict = {}
+            base = f"layer{li}.{bi}"
+            blk["conv1"] = {"kernel": conv2d(sd[f"{base}.conv1.weight"])}
+            blk["conv2"] = {"kernel": conv2d(sd[f"{base}.conv2.weight"])}
+            for bn_name, src in (("bn1", f"{base}.bn1"), ("bn2", f"{base}.bn2")):
+                blk[bn_name] = {
+                    "scale": sd[f"{src}.weight"], "bias": sd[f"{src}.bias"]
+                }
+                bst[bn_name] = {
+                    "mean": sd[f"{src}.running_mean"],
+                    "var": sd[f"{src}.running_var"],
+                }
+            if f"{base}.downsample.0.weight" in sd:
+                blk["down_conv"] = {
+                    "kernel": conv2d(sd[f"{base}.downsample.0.weight"])
+                }
+                blk["down_bn"] = {
+                    "scale": sd[f"{base}.downsample.1.weight"],
+                    "bias": sd[f"{base}.downsample.1.bias"],
+                }
+                bst["down_bn"] = {
+                    "mean": sd[f"{base}.downsample.1.running_mean"],
+                    "var": sd[f"{base}.downsample.1.running_var"],
+                }
+            params[f"layer{li}_block{bi}"] = blk
+            stats[f"layer{li}_block{bi}"] = bst
+    return {"params": params, "batch_stats": stats}
+
+
+def merge_params(base_variables: Dict, imported: Dict) -> Dict:
+    """Deep-merge imported leaves over an initialized variable tree (keeps
+    layers absent from the import, e.g. the proj convs)."""
+    import copy
+
+    out = copy.deepcopy(base_variables)
+
+    def rec(dst, src):
+        for k, v in src.items():
+            if isinstance(v, Mapping) and k in dst and isinstance(dst[k], Mapping):
+                rec(dst[k], v)
+            else:
+                dst[k] = v
+
+    rec(out, imported)
+    return out
