@@ -240,6 +240,45 @@ class HoloDiffusionModel(nn.Module):
         v = jnp.tanh(model_fn(voxel_features, t0))
         return v, aux
 
+    def render_rays(
+        self,
+        voxel_grid: jnp.ndarray,
+        ray_bundle: RayBundle,
+        training: bool = False,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Multi-pass EA render of a prepared ray bundle — the chunkable inner
+        renderer (GenericModel's chunked eval, `chunk_size_grid`,
+        hydrant.yaml:112; host-side chunk loop in render_eval.py)."""
+
+        def implicit_fn(points, directions, pass_number):
+            return self.implicit_function(voxel_grid, points, directions)
+
+        n_fine = (
+            self.n_pts_per_ray_fine_training
+            if training
+            else self.n_pts_per_ray_fine_evaluation
+        )
+        stratified = (
+            self.stratified_point_sampling_training
+            if training
+            else self.stratified_point_sampling_evaluation
+        )
+        return multipass_ea_render(
+            implicit_fn,
+            ray_bundle,
+            n_pts_per_ray_fine=n_fine,
+            rng=rng,
+            training=training,
+            density_noise_std_train=self.density_noise_std_train,
+            stratified_sampling_coarse=stratified,
+            append_coarse_samples_to_fine=self.append_coarse_samples_to_fine,
+            surface_thickness=self.surface_thickness,
+            background_opacity=self.background_opacity,
+            density_relu=self.density_relu,
+            num_passes=self.num_passes,
+        )
+
     def render(
         self,
         voxel_grid: jnp.ndarray,
@@ -292,28 +331,7 @@ class HoloDiffusionModel(nn.Module):
         else:
             raise ValueError(f"unknown sampling mode {sampling_mode}")
 
-        def implicit_fn(points, directions, pass_number):
-            return self.implicit_function(voxel_grid, points, directions)
-
-        n_fine = (
-            self.n_pts_per_ray_fine_training
-            if training
-            else self.n_pts_per_ray_fine_evaluation
-        )
-        rendered = multipass_ea_render(
-            implicit_fn,
-            ray_bundle,
-            n_pts_per_ray_fine=n_fine,
-            rng=rng_render,
-            training=training,
-            density_noise_std_train=self.density_noise_std_train,
-            stratified_sampling_coarse=stratified,
-            append_coarse_samples_to_fine=self.append_coarse_samples_to_fine,
-            surface_thickness=self.surface_thickness,
-            background_opacity=self.background_opacity,
-            density_relu=self.density_relu,
-            num_passes=self.num_passes,
-        )
+        rendered = self.render_rays(voxel_grid, ray_bundle, training, rng_render)
         return rendered, ray_bundle
 
     # ------------------------------------------------------------------

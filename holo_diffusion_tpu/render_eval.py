@@ -1,0 +1,97 @@
+"""Chunked full-image evaluation rendering.
+
+Rebuild of GenericModel's chunked eval path (`chunk_size_grid` 40960/163840,
+hydrant.yaml:112, SURVEY.md §5 "ray chunking"): dense H x W renders are split
+into fixed-size ray chunks processed by ONE jitted chunk renderer in a host
+loop — constant device memory regardless of render size, one compilation.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .data.frame_data import FrameData
+from .geometry.cameras import PerspectiveCameras
+from .geometry.rays import RayBundle, sample_rays_full_grid
+from .models.holo_model import HoloDiffusionModel
+
+
+def make_chunk_renderer(model: HoloDiffusionModel, variables):
+    """Returns a jitted fn(voxel_grid, ray_bundle_chunk) -> RendererOutput."""
+
+    @jax.jit
+    def chunk_render(voxel_grid, bundle: RayBundle):
+        return model.apply(
+            variables,
+            voxel_grid,
+            bundle,
+            False,
+            None,
+            method=HoloDiffusionModel.render_rays,
+        )
+
+    return chunk_render
+
+
+def render_image_chunked(
+    model: HoloDiffusionModel,
+    variables,
+    camera: PerspectiveCameras,
+    voxel_grid: jnp.ndarray,
+    image_height: Optional[int] = None,
+    image_width: Optional[int] = None,
+    chunk_size_grid: Optional[int] = None,
+    chunk_renderer=None,
+) -> Dict[str, np.ndarray]:
+    """Render one camera densely in ray chunks.
+
+    voxel_grid: (r, r, r, C). Returns dict of (H, W, c) numpy images
+    (images/depths/masks[/normals]_render).
+    """
+    H = image_height or model.render_image_height
+    W = image_width or model.render_image_width
+    n_pts = model.n_pts_per_ray_evaluation
+    chunk_size = chunk_size_grid or model.chunk_size_grid or (H * W * n_pts)
+    rays_per_chunk = max(chunk_size // max(n_pts, 1), 1)
+
+    bundle = sample_rays_full_grid(
+        camera[:1], H, W, n_pts, model.scene_center, model.scene_extent
+    )
+    n_rays = H * W
+    n_pad = -n_rays % rays_per_chunk
+    padded = jax.tree.map(
+        lambda x: jnp.pad(x, ((0, 0), (0, n_pad)) + ((0, 0),) * (x.ndim - 2),
+                          mode="edge"),
+        bundle,
+    )
+    n_chunks = (n_rays + n_pad) // rays_per_chunk
+
+    if chunk_renderer is None:
+        chunk_renderer = make_chunk_renderer(model, variables)
+
+    feats, depths, masks, normals = [], [], [], []
+    for ci in range(n_chunks):
+        sl = slice(ci * rays_per_chunk, (ci + 1) * rays_per_chunk)
+        chunk = jax.tree.map(lambda x: x[:, sl], padded)
+        out = chunk_renderer(voxel_grid, chunk)
+        feats.append(np.asarray(out.features[0]))
+        depths.append(np.asarray(out.depths[0]))
+        masks.append(np.asarray(out.masks[0]))
+        if out.normals is not None:
+            normals.append(np.asarray(out.normals[0]))
+
+    def assemble(parts, c):
+        flat = np.concatenate(parts, axis=0)[:n_rays]
+        return flat.reshape(H, W, c)
+
+    result = {
+        "images_render": assemble(feats, feats[0].shape[-1])[..., :3],
+        "depths_render": assemble(depths, 1),
+        "masks_render": assemble(masks, 1),
+    }
+    if normals:
+        result["normals_render"] = assemble(normals, 3)
+    return result
