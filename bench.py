@@ -1,23 +1,54 @@
-"""Benchmark: denoise steps/sec/chip on the release-scale 3D UNet.
+"""Benchmark: denoise steps/sec/chip on the release-scale 3D UNet + rendered
+rays/sec, run tiered with per-phase time budgets so a wedged TPU tunnel or a
+slow remote compile still yields a result line.
 
-Runs on the real TPU chip (the driver executes this at the end of each round).
 Headline metric matches BASELINE.md's north-star: DDPM denoise steps/sec/chip
 on the hydrant-scale denoiser (16^3 latent, 128-ch IO, model_channels 64,
 channel_mult (1,1,2,4,8), attention at ds 4/8 — configs/hydrant.yaml:220-245).
-Also reports rendered rays/sec for the volume-render path as an extra field.
+`vs_baseline` is null — the reference publishes no numbers (BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
-`vs_baseline` is null — the reference publishes no numbers (BASELINE.md);
-reference A100 measurements are future work.
+Prints ONE JSON line on stdout. Phase budgets via SIGALRM; diagnostics on
+stderr.
 """
 import json
+import signal
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+class PhaseTimeout(Exception):
+    pass
+
+
+def _with_budget(fn, seconds, name):
+    def handler(signum, frame):
+        raise PhaseTimeout(name)
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    t0 = time.time()
+    try:
+        out = fn()
+        _log(f"[bench] {name}: ok in {time.time() - t0:.1f}s")
+        return out
+    except PhaseTimeout:
+        _log(f"[bench] {name}: TIMED OUT after {seconds}s")
+        return None
+    except Exception as e:  # noqa: BLE001
+        _log(f"[bench] {name}: failed: {type(e).__name__}: {e}")
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def _timeit(fn, *args, warmup=2, iters=10):
+    import jax
+
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
@@ -28,8 +59,21 @@ def _timeit(fn, *args, warmup=2, iters=10):
     return (time.perf_counter() - t0) / iters
 
 
+def _probe_device():
+    import jax
+
+    d = jax.devices()
+    import jax.numpy as jnp
+
+    x = jnp.ones((256, 256))
+    float((x @ x).sum())
+    return str(d[0])
+
+
 def bench_denoise_step():
-    """One DDPM p_sample step (UNet fwd + posterior update), bf16 compute."""
+    import jax
+    import jax.numpy as jnp
+
     from holo_diffusion_tpu.models import diffusion as gd
     from holo_diffusion_tpu.models.unet3d import UNetModel3D
 
@@ -46,7 +90,9 @@ def bench_denoise_step():
     )
     x = jnp.zeros((1, 16, 16, 16, 128))
     t = jnp.zeros((1,), jnp.int32)
-    params = model.init(jax.random.PRNGKey(0), x, t)
+    _log("[bench] init UNet params ...")
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t)
+    jax.block_until_ready(params)
     sched = gd.make_named_schedule("linear", 1000)
 
     @jax.jit
@@ -55,19 +101,23 @@ def bench_denoise_step():
             sched, lambda xx, tt: model.apply(params, xx, tt), x, t, rng
         )["sample"]
 
-    rng = jax.random.PRNGKey(1)
-    dt = _timeit(p_sample_step, x, t, rng, warmup=3, iters=20)
+    _log("[bench] compiling p_sample step ...")
+    dt = _timeit(p_sample_step, x, t, jax.random.PRNGKey(1), warmup=3, iters=20)
     return 1.0 / dt
 
 
 def bench_render_rays():
-    """Rendered rays/sec: two-pass EA render from a 64^3 x 64-feat grid,
-    1024 rays x (64+16+64) pts, RenderMLP hidden 256 (hydrant decoder)."""
+    import jax
+    import jax.numpy as jnp
+
     from holo_diffusion_tpu.geometry import (
         PerspectiveCameras,
         look_at_view_transform,
     )
-    from holo_diffusion_tpu.geometry.rays import sample_rays_from_mask
+    from holo_diffusion_tpu.geometry.rays import (
+        ray_bundle_to_ray_points,
+        sample_rays_from_mask,
+    )
     from holo_diffusion_tpu.models.implicit import VoxelGridImplicitFunction
     from holo_diffusion_tpu.models.renderer import multipass_ea_render
 
@@ -89,7 +139,12 @@ def bench_render_rays():
     )
     grid = jax.random.normal(jax.random.PRNGKey(0), (64, 64, 64, 64), jnp.float32)
     mask = jnp.ones((n_views, 64, 64))
-    params = None
+
+    rb0 = sample_rays_from_mask(
+        cams, mask, n_rays, n_pts, jax.random.PRNGKey(1), scene_extent=4.0
+    )
+    pts0 = ray_bundle_to_ray_points(rb0)
+    params = fn.init(jax.random.PRNGKey(2), grid, pts0, rb0.directions)
 
     @jax.jit
     def render(grid, rng):
@@ -104,31 +159,41 @@ def bench_render_rays():
         )
         return out.features
 
-    rb0 = sample_rays_from_mask(
-        cams, mask, n_rays, n_pts, jax.random.PRNGKey(1), scene_extent=4.0
-    )
-    from holo_diffusion_tpu.geometry.rays import ray_bundle_to_ray_points
-
-    pts0 = ray_bundle_to_ray_points(rb0)
-    params = fn.init(jax.random.PRNGKey(2), grid, pts0, rb0.directions)
-
+    _log("[bench] compiling render ...")
     dt = _timeit(render, grid, jax.random.PRNGKey(3), warmup=2, iters=10)
     return n_views * n_rays / dt
 
 
 def main():
-    steps_per_sec = bench_denoise_step()
-    rays_per_sec = bench_render_rays()
+    device = _with_budget(_probe_device, 240, "device probe")
+    if device is None:
+        print(
+            json.dumps(
+                {
+                    "metric": "denoise_steps_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "steps/s (16^3x128ch UNet, bf16)",
+                    "vs_baseline": None,
+                    "error": "TPU device unreachable within budget",
+                }
+            )
+        )
+        return
+
+    steps_per_sec = _with_budget(bench_denoise_step, 1500, "denoise step")
+    rays_per_sec = _with_budget(bench_render_rays, 900, "render rays")
     print(
         json.dumps(
             {
                 "metric": "denoise_steps_per_sec_per_chip",
-                "value": round(steps_per_sec, 2),
+                "value": round(steps_per_sec, 2) if steps_per_sec else 0.0,
                 "unit": "steps/s (16^3x128ch UNet, bf16)",
                 "vs_baseline": None,
                 "extra": {
-                    "rendered_rays_per_sec": round(rays_per_sec, 1),
-                    "device": str(jax.devices()[0]),
+                    "rendered_rays_per_sec": (
+                        round(rays_per_sec, 1) if rays_per_sec else None
+                    ),
+                    "device": device,
                 },
             }
         )

@@ -1,0 +1,71 @@
+"""Evaluator tests: new-view-synthesis protocol on synthetic scenes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from holo_diffusion_tpu.data import make_synthetic_scene
+from holo_diffusion_tpu.evaluation import (
+    camera_difficulty,
+    evaluate_new_view_synthesis,
+    ssim,
+)
+from holo_diffusion_tpu.models.holo_model import HoloDiffusionModel
+
+TINY = dict(
+    resol=4,
+    volume_extent=3.0,
+    feature_size=32,
+    num_passes=2,
+    net_3d_enabled=False,
+    diffusion_enabled=False,
+    n_pts_per_ray_evaluation=8,
+    n_pts_per_ray_fine_evaluation=4,
+    render_image_height=12,
+    render_image_width=12,
+    scene_extent=1.2,
+    chunk_size_grid=256,
+    image_feature_extractor_args=dict(
+        name_arch="resnet18", stages=(1,), proj_dim=4, image_rescale=0.5
+    ),
+    render_mlp_args=dict(dnet_hidden_dim=16, rnet_hidden_dim=16),
+)
+
+
+def test_ssim_identity_and_noise():
+    a = np.random.RandomState(0).rand(8, 8, 3).astype(np.float32)
+    assert ssim(a, a) == pytest.approx(1.0, abs=1e-5)
+    b = np.clip(a + np.random.RandomState(1).randn(8, 8, 3) * 0.3, 0, 1)
+    assert ssim(a, b.astype(np.float32)) < 0.9
+
+
+def test_camera_difficulty_range():
+    scene = make_synthetic_scene(n_views=6, image_size=8)
+    d = camera_difficulty(scene, 0)
+    assert -1.0 <= d <= 1.0
+
+
+@pytest.mark.slow
+def test_evaluate_new_view_synthesis(tmp_path):
+    scenes = [make_synthetic_scene(n_views=5, image_size=12, seed=i) for i in range(2)]
+    model = HoloDiffusionModel(**TINY)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        camera=scenes[0].camera,
+        image_rgb=scenes[0].image_rgb,
+        fg_probability=scenes[0].fg_probability,
+        mask_crop=scenes[0].mask_crop,
+        training=True,
+        rng=jax.random.PRNGKey(1),
+    )
+    dump = str(tmp_path / "eval.json")
+    out = evaluate_new_view_synthesis(
+        model, variables, scenes, n_source_views=4,
+        n_eval_targets_per_seq=1, dump_path=dump,
+    )
+    assert out["n_evals"] == 2
+    assert "psnr" in out["overall"] and np.isfinite(out["overall"]["psnr"])
+    assert "ssim" in out["overall"]
+    import os
+
+    assert os.path.exists(dump)
