@@ -209,8 +209,14 @@ def load_frame_data(
 ):
     """Load one frame: image/mask/depth cropped to the fg box and resized to a
     square; intrinsics rewritten through the crop. Returns dict of numpy."""
-    img = _load_image(os.path.join(dataset_root, frame.image_path))
-    H0, W0 = img.shape[:2]
+    from PIL import Image
+
+    from ..native import crop_resize_u8
+
+    with Image.open(os.path.join(dataset_root, frame.image_path)) as im:
+        img_u8 = np.asarray(im.convert("RGB"))
+    H0, W0 = img_u8.shape[:2]
+    img = None  # materialized lazily (native path crops from uint8 directly)
     mask = (
         _load_mask(os.path.join(dataset_root, frame.mask_path))
         if frame.mask_path
@@ -227,22 +233,32 @@ def load_frame_data(
             depth = None
 
     focal, pp = frame.focal_length.copy(), frame.principal_point.copy()
+    box = None
     if box_crop:
         box = mask_bbox(mask, box_crop_mask_thr)
         if box is not None:
             box = expand_bbox(box, box_crop_context, (H0, W0))
-            # square crop (the reference resizes the box crop to a square
-            # image; keep the box as-is and resize anisotropically only when
-            # the target is square — NDC stays isotropic on the min side)
             x0, y0, x1, y1 = box
-            img = img[y0:y1, x0:x1]
             mask = mask[y0:y1, x0:x1]
             if depth is not None:
                 depth = depth[y0:y1, x0:x1]
             focal, pp = crop_intrinsics(focal, pp, (H0, W0), box)
+    if box is None:
+        box = (0, 0, W0, H0)
+
+    # native C++ crop+resize when the box is square-ish and no padding is
+    # needed; otherwise fall back to the PIL path below
+    h_box, w_box = box[3] - box[1], box[2] - box[0]
+    native_img = None
+    if h_box == w_box:
+        native_img = crop_resize_u8(img_u8, box, (image_height, image_width))
+    if native_img is None:
+        img = np.asarray(img_u8, np.float32)[box[1]:box[3], box[0]:box[2]] / 255.0
+    else:
+        img = native_img
 
     # pad to square before resize so isotropic NDC stays valid
-    h, w = img.shape[:2]
+    h, w = mask.shape[:2]
     if h != w:
         size = max(h, w)
         pad_y, pad_x = (size - h) // 2, (size - w) // 2
@@ -257,11 +273,14 @@ def load_frame_data(
         c_new = np.array([(size - 1) / 2.0, (size - 1) / 2.0])
         focal = focal * s_old / s_new
         pp = pp * (s_old / s_new) + (c_old_in_new - c_new) / s_new
-        img, mask = pad(img), pad(mask)
+        if native_img is None:
+            img = pad(img)
+        mask = pad(mask)
         if depth is not None:
             depth = pad(depth)
 
-    img = _resize(img, (image_height, image_width))
+    if native_img is None:
+        img = _resize(img, (image_height, image_width))
     mask = _resize(mask, (image_height, image_width))
     if depth is not None:
         depth = _resize(depth, (image_height, image_width), nearest=True)

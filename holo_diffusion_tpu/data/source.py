@@ -91,3 +91,41 @@ def device_batched_loader(
     for _ in range(n_batches):
         batches = [dataset.sample_batch(rng, batch_size) for _ in range(n_devices)]
         yield jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
+class AsyncLoader:
+    """Background-thread prefetcher around any batch iterator — the TPU-side
+    replacement for the reference's dataloader worker processes (num_workers,
+    configs/base.yaml:61): overlap host-side decode/crop/collate (incl. the
+    native C++ kernels, which release the GIL) with device steps."""
+
+    def __init__(self, iterator, prefetch: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=prefetch)
+        self._err = None
+
+        def worker():
+            try:
+                for item in iterator:
+                    self._q.put(item)
+            except BaseException as e:  # noqa: BLE001
+                self._err = e
+            finally:
+                self._q.put(_SENTINEL)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is _SENTINEL:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+
+_SENTINEL = object()

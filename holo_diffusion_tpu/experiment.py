@@ -26,7 +26,7 @@ from .config import (
     optimizer_args_from_config,
     training_loop_args_from_config,
 )
-from .data.source import SyntheticDataProvider, device_batched_loader, epoch_loader
+from .data.source import AsyncLoader, SyntheticDataProvider, device_batched_loader, epoch_loader
 from .models.holo_model import HoloDiffusionModel
 from .parallel import TrainState, make_eval_step, make_mesh, make_train_step, shard_batch
 from .parallel.mesh import replicate
@@ -174,7 +174,7 @@ class Experiment:
                     self.data.train, self.batch_size, n_host_batches,
                     self.seed + epoch,
                 )
-            for it, batch in enumerate(loader):
+            for it, batch in enumerate(AsyncLoader(loader)):
                 if mesh is not None:
                     batch = shard_batch(batch, mesh)
                 rng, step_rng = jax.random.split(rng)
