@@ -155,6 +155,7 @@ class Experiment:
         max_epochs = max_epochs or self.loop_args["max_epochs"]
         print_interval = self.loop_args["metric_print_interval"]
         val_interval = self.loop_args["validation_interval"]
+        vis_interval = self.loop_args.get("visualize_interval", 0)
         stats.epoch = start_epoch - 1
 
         for epoch in range(start_epoch, max_epochs):
@@ -199,6 +200,14 @@ class Experiment:
                         {k: v for k, v in out.items() if jnp.ndim(v) == 0}, "val"
                     )
                 logger.info(stats.status_line("val"))
+                # per-interval image dumps (visdom replacement,
+                # training_loop.py:501-516)
+                if vis_interval and epoch % vis_interval == 0:
+                    from .utils.vis import visualize_preds
+
+                    visualize_preds(
+                        out, os.path.join(self.exp_dir, "visuals"), "val", epoch
+                    )
 
             stats.finalize_epoch()
             if self.loop_args["store_checkpoints"]:
@@ -209,4 +218,13 @@ class Experiment:
                     stats,
                     purge=self.loop_args["store_checkpoints_purge"],
                 )
+                if jax.process_index() == 0:
+                    from .utils.vis import plot_stats_pdf
+
+                    try:
+                        plot_stats_pdf(
+                            stats, os.path.join(self.exp_dir, "train_stats.pdf")
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        logger.warning(f"stats plot failed: {e}")
         return state, stats

@@ -307,6 +307,25 @@ def p_mean_variance(
     }
 
 
+def condition_mean(sched: DiffusionSchedule, cond_fn, p_mean_var, x, t):
+    """Sohl-Dickstein-style conditioning (gaussian_diffusion.py:420-436)."""
+    gradient = cond_fn(x, t)
+    return p_mean_var["mean"] + p_mean_var["variance"] * gradient
+
+
+def condition_score(sched: DiffusionSchedule, cond_fn, p_mean_var, x, t):
+    """Song et al. score conditioning (gaussian_diffusion.py:438-457)."""
+    alpha_bar = _extract(sched.alphas_cumprod, t, x.ndim)
+    eps = predict_eps_from_xstart(sched, x, t, p_mean_var["pred_xstart"])
+    eps = eps - jnp.sqrt(1 - alpha_bar) * cond_fn(x, t)
+    out = dict(p_mean_var)
+    out["pred_xstart"] = predict_xstart_from_eps(sched, x, t, eps)
+    out["mean"], _, _ = q_posterior_mean_variance(
+        sched, out["pred_xstart"], x, t
+    )
+    return out
+
+
 def p_sample(
     sched: DiffusionSchedule,
     model_fn: Callable,
