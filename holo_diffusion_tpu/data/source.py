@@ -129,3 +129,19 @@ class AsyncLoader:
 
 
 _SENTINEL = object()
+
+
+class WholeDatasetLoader:
+    """`whole_dataset_batch` mode (training_loop.py:127, 715-739): collate the
+    ENTIRE dataset once and replay the same device-resident batch
+    `n_batches_in_epoch` times per epoch — zero host IO in the hot loop."""
+
+    def __init__(self, dataset: SceneDataset, batch_size: int,
+                 n_batches_in_epoch: int, seed: int = 0):
+        rng = np.random.RandomState(seed)
+        self._batch = dataset.sample_batch(rng, batch_size)
+        self.n_batches_in_epoch = n_batches_in_epoch
+
+    def __iter__(self):
+        for _ in range(self.n_batches_in_epoch):
+            yield self._batch

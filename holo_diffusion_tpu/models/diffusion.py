@@ -707,3 +707,10 @@ def loss_aware_update(
         insert, (state.loss_history, state.loss_counts), (ts, losses)
     )
     return LossSecondMomentState(loss_history=hist, loss_counts=counts)
+
+
+def update_ema(ema_params, params, rate: float = 0.9999):
+    """EMA of parameters (nn.py:61-71 `update_ema`): ema <- ema*rate +
+    (1-rate)*params. Exposed for parity; the release training does not use
+    EMA."""
+    return jax.tree.map(lambda e, p: e * rate + (1.0 - rate) * p, ema_params, params)
