@@ -55,30 +55,41 @@ class GroupNorm32(nn.Module):
         return h.astype(orig_dtype)
 
 
-def _resize_nearest_2x(x: jnp.ndarray, homogeneous: bool) -> jnp.ndarray:
-    """Nearest-neighbor x2 upsampling; depth dim only when homogeneous
-    (unet.py:92-103). NDHWC."""
-    B, D, H, W, C = x.shape
-    if homogeneous:
-        x = jnp.repeat(x, 2, axis=1)
-    x = jnp.repeat(x, 2, axis=2)
-    x = jnp.repeat(x, 2, axis=3)
+def _resize_nearest_2x(x: jnp.ndarray, homogeneous: bool, dims: int = 3) -> jnp.ndarray:
+    """Nearest-neighbor x2 upsampling (unet.py:92-103). Channels-last with
+    `dims` spatial axes; for dims==3 the depth axis only scales when
+    `homogeneous` (the reference's inner-two-dims default)."""
+    if dims == 3:
+        if homogeneous:
+            x = jnp.repeat(x, 2, axis=1)
+        x = jnp.repeat(x, 2, axis=2)
+        x = jnp.repeat(x, 2, axis=3)
+        return x
+    for ax in range(1, dims + 1):
+        x = jnp.repeat(x, 2, axis=ax)
     return x
+
+
+def _stride(dims: int, homogeneous: bool):
+    if dims == 3 and not homogeneous:
+        return (1, 2, 2)
+    return (2,) * dims
 
 
 class Upsample3D(nn.Module):
     out_channels: int
     use_conv: bool = True
     homogeneous: bool = True
+    dims: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = _resize_nearest_2x(x, self.homogeneous)
+        x = _resize_nearest_2x(x, self.homogeneous, self.dims)
         if self.use_conv:
             x = nn.Conv(
                 self.out_channels,
-                (3, 3, 3),
+                (3,) * self.dims,
                 padding=1,
                 kernel_init=_xavier,
                 bias_init=_zeros,
@@ -92,15 +103,16 @@ class Downsample3D(nn.Module):
     out_channels: int
     use_conv: bool = True
     homogeneous: bool = True
+    dims: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        stride = (2, 2, 2) if self.homogeneous else (1, 2, 2)
+        stride = _stride(self.dims, self.homogeneous)
         if self.use_conv:
             return nn.Conv(
                 self.out_channels,
-                (3, 3, 3),
+                (3,) * self.dims,
                 strides=stride,
                 padding=1,
                 kernel_init=_xavier,
@@ -124,6 +136,7 @@ class ResBlock3D(nn.Module):
     homogeneous: bool = True
     simple_init: bool = True
     deterministic: bool = True
+    dims: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -132,15 +145,15 @@ class ResBlock3D(nn.Module):
         h = GroupNorm32(name="in_gn")(x)
         h = nn.silu(h)
         if self.up:
-            h = _resize_nearest_2x(h, self.homogeneous)
-            x = _resize_nearest_2x(x, self.homogeneous)
+            h = _resize_nearest_2x(h, self.homogeneous, self.dims)
+            x = _resize_nearest_2x(x, self.homogeneous, self.dims)
         elif self.down:
-            s = (2, 2, 2) if self.homogeneous else (1, 2, 2)
+            s = _stride(self.dims, self.homogeneous)
             h = nn.avg_pool(h, s, s)
             x = nn.avg_pool(x, s, s)
         h = nn.Conv(
             self.out_channels,
-            (3, 3, 3),
+            (3,) * self.dims,
             padding=1,
             kernel_init=_xavier,
             bias_init=_zeros,
@@ -155,7 +168,9 @@ class ResBlock3D(nn.Module):
             dtype=self.dtype,
             name="emb_dense",
         )(nn.silu(emb))
-        emb_out = emb_out[:, None, None, None, :].astype(h.dtype)
+        emb_out = emb_out.reshape(
+            emb_out.shape[0], *([1] * self.dims), emb_out.shape[-1]
+        ).astype(h.dtype)
 
         out_conv_init = _xavier if self.simple_init else _zeros
         if self.use_scale_shift_norm:
@@ -168,7 +183,7 @@ class ResBlock3D(nn.Module):
         h = nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
         h = nn.Conv(
             self.out_channels,
-            (3, 3, 3),
+            (3,) * self.dims,
             padding=1,
             kernel_init=out_conv_init,
             bias_init=_zeros,
@@ -179,7 +194,7 @@ class ResBlock3D(nn.Module):
         if in_ch != self.out_channels:
             x = nn.Conv(
                 self.out_channels,
-                (1, 1, 1),
+                (1,) * self.dims,
                 kernel_init=_xavier,
                 bias_init=_zeros,
                 dtype=self.dtype,
@@ -200,32 +215,36 @@ class AttentionBlock3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        B, D, H, W, C = x.shape
+        B, C = x.shape[0], x.shape[-1]
+        spatial = x.shape[1:-1]
+        T = 1
+        for sdim in spatial:
+            T *= sdim
         heads = (
             self.num_heads
             if self.num_head_channels == -1
             else C // self.num_head_channels
         )
         ch = C // heads
-        h = GroupNorm32(name="gn")(x).reshape(B, D * H * W, C)
+        h = GroupNorm32(name="gn")(x).reshape(B, T, C)
         qkv = nn.Dense(
             3 * C, kernel_init=_xavier, bias_init=_zeros, dtype=self.dtype, name="qkv"
         )(h)
         # Legacy order: per-head contiguous [q; k; v] blocks
         # (unet.py:441-447: reshape(B*heads, 3*ch, T).split(ch)).
-        qkv = qkv.reshape(B, D * H * W, heads, 3 * ch)
+        qkv = qkv.reshape(B, T, heads, 3 * ch)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         scale = 1.0 / math.sqrt(math.sqrt(ch))
         logits = jnp.einsum(
             "bthc,bshc->bhts", q * scale, k * scale, preferred_element_type=jnp.float32
         )
         weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhts,bshc->bthc", weights, v).reshape(B, D * H * W, C)
+        out = jnp.einsum("bhts,bshc->bthc", weights, v).reshape(B, T, C)
         proj_init = _xavier if self.simple_init else _zeros
         out = nn.Dense(
             C, kernel_init=proj_init, bias_init=_zeros, dtype=self.dtype, name="proj"
         )(out)
-        return x + out.reshape(B, D, H, W, C)
+        return x + out.reshape(B, *spatial, C)
 
 
 class UNetModel3D(nn.Module):
@@ -252,10 +271,13 @@ class UNetModel3D(nn.Module):
     homogeneous_resample: bool = True
     simple_init: bool = True
     use_remat: bool = True
+    dims: int = 3
+    num_classes: int = 0  # class-conditional label embedding when > 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, timesteps, cond_features=None, deterministic: bool = True):
+    def __call__(self, x, timesteps, cond_features=None, y=None,
+                 deterministic: bool = True):
         """x: (B, D, H, W, C). cond_features concatenated on channels
         (diffusion_utils.py:82-86)."""
         if cond_features is not None:
@@ -277,6 +299,11 @@ class UNetModel3D(nn.Module):
             dtype=self.dtype,
             name="time_dense_1",
         )(emb)
+        if self.num_classes:
+            assert y is not None, "class-conditional model needs labels"
+            emb = emb + nn.Embed(
+                self.num_classes, self.model_channels * 4, name="label_emb"
+            )(y)
 
         res_block = nn.remat(ResBlock3D) if self.use_remat else ResBlock3D
         attn_block = nn.remat(AttentionBlock3D) if self.use_remat else AttentionBlock3D
@@ -289,6 +316,7 @@ class UNetModel3D(nn.Module):
                 homogeneous=self.homogeneous_resample,
                 simple_init=self.simple_init,
                 deterministic=deterministic,
+                dims=self.dims,
                 dtype=self.dtype,
                 name=name,
                 **kw,
@@ -307,7 +335,7 @@ class UNetModel3D(nn.Module):
         ch = int(self.channel_mult[0] * self.model_channels)
         h = nn.Conv(
             ch,
-            (3, 3, 3),
+            (3,) * self.dims,
             padding=1,
             kernel_init=_xavier,
             bias_init=_zeros,
@@ -333,6 +361,7 @@ class UNetModel3D(nn.Module):
                     out_channels=h.shape[-1],
                     use_conv=self.conv_resample,
                     homogeneous=self.homogeneous_resample,
+                    dims=self.dims,
                     dtype=self.dtype,
                     name=f"input_{block_idx}_down",
                 )(h)
@@ -360,6 +389,7 @@ class UNetModel3D(nn.Module):
                         out_channels=h.shape[-1],
                         use_conv=self.conv_resample,
                         homogeneous=self.homogeneous_resample,
+                        dims=self.dims,
                         dtype=self.dtype,
                         name=f"output_{block_idx}_up",
                     )(h)
@@ -372,7 +402,7 @@ class UNetModel3D(nn.Module):
         last_init = _zeros if self.zero_last_conv else _xavier
         h = nn.Conv(
             self.out_channels,
-            (3, 3, 3),
+            (3,) * self.dims,
             padding=1,
             kernel_init=last_init,
             bias_init=_zeros,
