@@ -51,6 +51,11 @@ class Experiment:
         self.seed = cfg.get("seed", 42)
         self.exp_dir = cfg.get("exp_dir", "./experiments/run")
         seed_all_random_engines(self.seed)
+        if cfg.get("detect_anomaly", False):
+            # jax_debug_nans (reference detect_anomaly, experiment.py:181-184)
+            from .utils.profiling import enable_anomaly_detection
+
+            enable_anomaly_detection(True)
 
         self.model_args = model_args_from_config(cfg)
         self.model = HoloDiffusionModel(**self.model_args)
@@ -127,6 +132,8 @@ class Experiment:
     def run(self, max_epochs: Optional[int] = None, use_mesh: bool = True):
         os.makedirs(self.exp_dir, exist_ok=True)
         dump_expconfig(self.cfg, self.exp_dir)
+        if self.loop_args.get("eval_only"):
+            return self.run_eval_only()
 
         mesh = make_mesh() if (use_mesh and jax.device_count() > 1) else None
         n_dev = mesh.devices.size if mesh is not None else 1

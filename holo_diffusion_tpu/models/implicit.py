@@ -36,6 +36,9 @@ class VoxelGridImplicitFunction(nn.Module):
     feature_dim: int = 0  # forced to 0 by the model (holo_diffusion_model.py:157)
     render_normals: bool = False
     render_mlp_args: dict = None
+    # voxel sampling strategy: "gather" (XLA gather), "pallas" (VMEM one-hot
+    # MXU kernel, ops/pallas/fused_render.py), "onehot_xla"
+    sampler: str = "gather"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -48,6 +51,21 @@ class VoxelGridImplicitFunction(nn.Module):
         )
         self.render_mlp = RenderMLP(**args)
 
+    def _sample(self, voxel_grid, points):
+        if self.sampler == "pallas":
+            from ..ops.pallas.fused_render import trilinear_sample_pallas
+
+            return trilinear_sample_pallas(
+                voxel_grid, points, self.volume_extent
+            )
+        if self.sampler == "onehot_xla":
+            from ..ops.pallas.fused_render import trilinear_sample_onehot_xla
+
+            return trilinear_sample_onehot_xla(
+                voxel_grid, points, self.volume_extent
+            )
+        return sample_voxel_grid_world(voxel_grid, points, self.volume_extent)
+
     def __call__(
         self,
         voxel_grid: jnp.ndarray,
@@ -58,9 +76,7 @@ class VoxelGridImplicitFunction(nn.Module):
         ray_directions: (..., 3) per-ray (expanded over P) or None (dummy ones,
         matching the pts_3d path, holo_voxel_grid_implicit_function.py:232-238).
         """
-        sampled = sample_voxel_grid_world(
-            voxel_grid, ray_points_world, self.volume_extent
-        )
+        sampled = self._sample(voxel_grid, ray_points_world)
 
         if ray_directions is None:
             dirs = jnp.ones(ray_points_world.shape[:-1] + (3,), sampled.dtype)
@@ -75,7 +91,7 @@ class VoxelGridImplicitFunction(nn.Module):
         aux = {}
         if self.render_normals:
             def density_at(p):
-                feats = sample_voxel_grid_world(voxel_grid, p, self.volume_extent)
+                feats = self._sample(voxel_grid, p)
                 return self.render_mlp.density(feats).sum()
 
             grads = jax.grad(density_at)(ray_points_world)
