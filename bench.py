@@ -1,17 +1,21 @@
 """Benchmark: denoise steps/sec/chip on the release-scale 3D UNet + rendered
-rays/sec, run tiered with per-phase time budgets so a wedged TPU tunnel or a
-slow remote compile still yields a result line.
+rays/sec. Each phase runs in a SUBPROCESS with a hard timeout (a blocked XLA
+remote compile cannot be interrupted by in-process signals), so a wedged TPU
+tunnel still yields a result line.
 
 Headline metric matches BASELINE.md's north-star: DDPM denoise steps/sec/chip
 on the hydrant-scale denoiser (16^3 latent, 128-ch IO, model_channels 64,
 channel_mult (1,1,2,4,8), attention at ds 4/8 — configs/hydrant.yaml:220-245).
 `vs_baseline` is null — the reference publishes no numbers (BASELINE.md).
 
-Prints ONE JSON line on stdout. Phase budgets via SIGALRM; diagnostics on
-stderr.
+Prints ONE JSON line on stdout; diagnostics on stderr.
+
+    python bench.py                 # all phases via subprocesses
+    python bench.py --phase denoise # run one phase inline (internal)
 """
 import json
-import signal
+import os
+import subprocess
 import sys
 import time
 
@@ -20,30 +24,31 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-class PhaseTimeout(Exception):
-    pass
-
-
-def _with_budget(fn, seconds, name):
-    def handler(signum, frame):
-        raise PhaseTimeout(name)
-
-    old = signal.signal(signal.SIGALRM, handler)
-    signal.alarm(seconds)
+def _run_phase(name, seconds):
+    """Run `python bench.py --phase <name>` with a hard timeout; parse the
+    last stdout line as a float, or None."""
     t0 = time.time()
     try:
-        out = fn()
-        _log(f"[bench] {name}: ok in {time.time() - t0:.1f}s")
-        return out
-    except PhaseTimeout:
-        _log(f"[bench] {name}: TIMED OUT after {seconds}s")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", name],
+            capture_output=True,
+            timeout=seconds,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        sys.stderr.write(proc.stderr[-2000:])
+        if proc.returncode != 0:
+            _log(f"[bench] {name}: exited {proc.returncode}")
+            return None
+        value = float(proc.stdout.strip().splitlines()[-1])
+        _log(f"[bench] {name}: {value:.3f} in {time.time() - t0:.1f}s")
+        return value
+    except subprocess.TimeoutExpired:
+        _log(f"[bench] {name}: TIMED OUT after {seconds}s (killed)")
         return None
     except Exception as e:  # noqa: BLE001
         _log(f"[bench] {name}: failed: {type(e).__name__}: {e}")
         return None
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
 
 
 def _timeit(fn, *args, warmup=2, iters=10):
@@ -62,12 +67,12 @@ def _timeit(fn, *args, warmup=2, iters=10):
 def _probe_device():
     import jax
 
-    d = jax.devices()
+    jax.devices()
     import jax.numpy as jnp
 
     x = jnp.ones((256, 256))
     float((x @ x).sum())
-    return str(d[0])
+    return 1.0
 
 
 def bench_denoise_step():
@@ -165,7 +170,18 @@ def bench_render_rays():
 
 
 def main():
-    device = _with_budget(_probe_device, 240, "device probe")
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        phase = sys.argv[2]
+        fn = {
+            "probe": _probe_device,
+            "denoise": bench_denoise_step,
+            "render": bench_render_rays,
+        }[phase]
+        out = fn()
+        print(out if phase == "probe" else float(out), flush=True)
+        return
+
+    device = _run_phase("probe", 300)
     if device is None:
         print(
             json.dumps(
@@ -180,8 +196,8 @@ def main():
         )
         return
 
-    steps_per_sec = _with_budget(bench_denoise_step, 1500, "denoise step")
-    rays_per_sec = _with_budget(bench_render_rays, 900, "render rays")
+    steps_per_sec = _run_phase("denoise", 2400)
+    rays_per_sec = _run_phase("render", 1200)
     print(
         json.dumps(
             {
@@ -193,7 +209,7 @@ def main():
                     "rendered_rays_per_sec": (
                         round(rays_per_sec, 1) if rays_per_sec else None
                     ),
-                    "device": device,
+                    "device": "probe_ok",
                 },
             }
         )
