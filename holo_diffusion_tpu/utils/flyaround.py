@@ -199,9 +199,21 @@ def render_flyaround(
             logger.info("sampling voxel grid via DDPM ...")
             voxel_features = sample_random_voxel_features(model, params, sample_rng)
     else:
-        # pool once from the source views (EVALUATION path computes it per
-        # forward; we precompute since it is constant along the trajectory)
-        voxel_features = None
+        # pool ONCE from the source views — the grid is constant along the
+        # trajectory (the reference recomputes it per forward; pooling here is
+        # hoisted out of the pose loop)
+        from ..models.metrics import preprocess_input
+
+        img, fg, _ = preprocess_input(
+            src_batch.image_rgb, src_batch.fg_probability, None,
+            model.mask_images, model.mask_depths, model.mask_threshold,
+            model.bg_color,
+        )
+        grid = model.apply(
+            params, img, src_batch.camera, fg, src_batch.mask_crop,
+            method=HoloDiffusionModel.pool_features,
+        )
+        voxel_features = grid[None]
 
     @jax.jit
     def render_one(camera: PerspectiveCameras, v, step_rng):
@@ -209,26 +221,6 @@ def render_flyaround(
             params,
             camera=camera,
             voxel_features=v,
-            training=False,
-            rng=step_rng,
-        )
-
-    @jax.jit
-    def render_recon(camera: PerspectiveCameras, batch: FrameData, step_rng):
-        cam = jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0),
-                           camera, batch.camera)
-        dummy = jnp.zeros_like(batch.image_rgb[:1])
-        return model.apply(
-            params,
-            camera=cam,
-            image_rgb=jnp.concatenate([dummy, batch.image_rgb], 0),
-            fg_probability=jax.tree.map(
-                lambda x: jnp.concatenate([jnp.zeros_like(x[:1]), x], 0),
-                batch.fg_probability,
-            ),
-            mask_crop=jnp.concatenate(
-                [jnp.ones_like(batch.mask_crop[:1]), batch.mask_crop], 0
-            ),
             training=False,
             rng=step_rng,
         )
@@ -251,10 +243,7 @@ def render_flyaround(
                     voxel_features = next(progressive_gen)
                 except StopIteration:
                     break
-        if sample_mode:
-            preds = render_one(cam, voxel_features, step_rng)
-        else:
-            preds = render_recon(cam, src_batch, step_rng)
+        preds = render_one(cam, voxel_features, step_rng)
         add_frame("images_render", preds["images_render"][0])
         add_frame("masks_render", np.repeat(preds["masks_render"][0], 3, axis=-1))
         depth = np.asarray(preds["depths_render"][0, ..., 0])
