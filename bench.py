@@ -100,15 +100,29 @@ def bench_denoise_step():
     jax.block_until_ready(params)
     sched = gd.make_named_schedule("linear", 1000)
 
-    @jax.jit
-    def p_sample_step(x, t, rng):
-        return gd.p_sample(
-            sched, lambda xx, tt: model.apply(params, xx, tt), x, t, rng
-        )["sample"]
+    # Amortize the host->device dispatch latency (~30ms on the tunnel) by
+    # scanning K denoise steps inside ONE dispatch — this measures true
+    # device throughput, and matches how sampling actually runs (lax.scan in
+    # gd.p_sample_loop).
+    K = 50
 
-    _log("[bench] compiling p_sample step ...")
-    dt = _timeit(p_sample_step, x, t, jax.random.PRNGKey(1), warmup=3, iters=20)
-    return 1.0 / dt
+    @jax.jit
+    def k_steps(x, rng):
+        def body(carry, i):
+            xc, r = carry
+            r, sub = jax.random.split(r)
+            t = jnp.full((x.shape[0],), 500, jnp.int32)
+            out = gd.p_sample(
+                sched, lambda xx, tt: model.apply(params, xx, tt), xc, t, sub
+            )["sample"]
+            return (out, r), None
+
+        (xo, _), _ = jax.lax.scan(body, (x, rng), jnp.arange(K))
+        return xo
+
+    _log("[bench] compiling K-step denoise scan ...")
+    dt = _timeit(k_steps, x, jax.random.PRNGKey(1), warmup=2, iters=5)
+    return K / dt
 
 
 def bench_render_rays():
@@ -151,22 +165,31 @@ def bench_render_rays():
     pts0 = ray_bundle_to_ray_points(rb0)
     params = fn.init(jax.random.PRNGKey(2), grid, pts0, rb0.directions)
 
-    @jax.jit
-    def render(grid, rng):
-        rb = sample_rays_from_mask(cams, mask, n_rays, n_pts, rng, scene_extent=4.0)
-        out = multipass_ea_render(
-            lambda p, d, i: fn.apply(params, grid, p, d),
-            rb,
-            n_pts_per_ray_fine=16,
-            rng=rng,
-            training=True,
-            num_passes=2,
-        )
-        return out.features
+    K = 8  # amortize dispatch latency: K renders per dispatch
 
-    _log("[bench] compiling render ...")
-    dt = _timeit(render, grid, jax.random.PRNGKey(3), warmup=2, iters=10)
-    return n_views * n_rays / dt
+    @jax.jit
+    def render_k(grid, rng):
+        def body(r, _):
+            r, sub = jax.random.split(r)
+            rb = sample_rays_from_mask(
+                cams, mask, n_rays, n_pts, sub, scene_extent=4.0
+            )
+            out = multipass_ea_render(
+                lambda p, d, i: fn.apply(params, grid, p, d),
+                rb,
+                n_pts_per_ray_fine=16,
+                rng=sub,
+                training=True,
+                num_passes=2,
+            )
+            return r, jnp.sum(out.features)
+
+        _, sums = jax.lax.scan(body, rng, jnp.arange(K))
+        return sums
+
+    _log("[bench] compiling render scan ...")
+    dt = _timeit(render_k, grid, jax.random.PRNGKey(3), warmup=2, iters=5)
+    return K * n_views * n_rays / dt
 
 
 def main():
@@ -181,7 +204,7 @@ def main():
         print(out if phase == "probe" else float(out), flush=True)
         return
 
-    device = _run_phase("probe", 300)
+    device = _run_phase("probe", 600)
     if device is None:
         print(
             json.dumps(
