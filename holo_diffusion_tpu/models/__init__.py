@@ -8,3 +8,12 @@ from .renderer import (
     emission_absorption_raymarcher,
     multipass_ea_render,
 )
+from .unet_variants import AttentionPool2d, EncoderUNetModel, SuperResModel
+from .feature_extractor import ResNetFeatureExtractor
+from .view_pooler import (
+    AngleWeightedReductionFeatureAggregator,
+    MLPMeanFeatureAggregator,
+    ViewPooler,
+)
+from .holo_model import HoloDiffusionModel
+from .metrics import preprocess_input, view_metrics
