@@ -53,3 +53,27 @@ def test_chunked_matches_unchunked():
     np.testing.assert_allclose(
         chunked["masks_render"], np.asarray(preds["masks_render"][0]), atol=1e-5
     )
+
+
+def test_sharded_render_matches_single_device():
+    from holo_diffusion_tpu.parallel import make_mesh
+    from holo_diffusion_tpu.render_eval import render_image_sharded
+
+    scene = make_synthetic_scene(n_views=1, image_size=12)
+    model = HoloDiffusionModel(**TINY)
+    grid = jnp.clip(jax.random.normal(jax.random.PRNGKey(0), (4, 4, 4, 32)), -1, 1)
+    variables = model.init(
+        jax.random.PRNGKey(1),
+        camera=scene.camera[:1],
+        voxel_features=grid[None],
+        training=False,
+    )
+    ref = render_image_chunked(model, variables, scene.camera, grid)
+    mesh = make_mesh()
+    out = render_image_sharded(model, variables, scene.camera, grid, mesh)
+    np.testing.assert_allclose(
+        out["images_render"], ref["images_render"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        out["depths_render"], ref["depths_render"], atol=1e-4
+    )
