@@ -106,8 +106,10 @@ def bench_denoise_step():
     # gd.p_sample_loop).
     K = 50
 
+    # NOTE params must be a jit ARGUMENT — closing over them would embed the
+    # whole parameter tree as program constants (compile-time explosion).
     @jax.jit
-    def k_steps(x, rng):
+    def k_steps(params, x, rng):
         def body(carry, i):
             xc, r = carry
             r, sub = jax.random.split(r)
@@ -121,7 +123,7 @@ def bench_denoise_step():
         return xo
 
     _log("[bench] compiling K-step denoise scan ...")
-    dt = _timeit(k_steps, x, jax.random.PRNGKey(1), warmup=2, iters=5)
+    dt = _timeit(k_steps, params, x, jax.random.PRNGKey(1), warmup=2, iters=5)
     return K / dt
 
 
@@ -168,7 +170,7 @@ def bench_render_rays():
     K = 8  # amortize dispatch latency: K renders per dispatch
 
     @jax.jit
-    def render_k(grid, rng):
+    def render_k(params, grid, rng):
         def body(r, _):
             r, sub = jax.random.split(r)
             rb = sample_rays_from_mask(
@@ -188,7 +190,7 @@ def bench_render_rays():
         return sums
 
     _log("[bench] compiling render scan ...")
-    dt = _timeit(render_k, grid, jax.random.PRNGKey(3), warmup=2, iters=5)
+    dt = _timeit(render_k, params, grid, jax.random.PRNGKey(3), warmup=2, iters=5)
     return K * n_views * n_rays / dt
 
 

@@ -66,7 +66,7 @@ def evaluate_new_view_synthesis(
     chunk_renderer = make_chunk_renderer(model, variables)
 
     @jax.jit
-    def pool(batch: FrameData):
+    def pool(variables, batch: FrameData):
         from .models.metrics import preprocess_input
 
         img, fg, _ = preprocess_input(
@@ -92,7 +92,7 @@ def evaluate_new_view_synthesis(
             if len(sources) > n_source_views:
                 sources = rng.choice(sources, n_source_views, replace=False)
             src = jax.tree.map(lambda x: x[jnp.asarray(sources)], scene)
-            grid = pool(src)
+            grid = pool(variables, src)
             H = int(scene.image_rgb.shape[1])
             W = int(scene.image_rgb.shape[2])
             out = render_image_chunked(

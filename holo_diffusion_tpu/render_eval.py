@@ -20,10 +20,12 @@ from .models.holo_model import HoloDiffusionModel
 
 
 def make_chunk_renderer(model: HoloDiffusionModel, variables):
-    """Returns a jitted fn(voxel_grid, ray_bundle_chunk) -> RendererOutput."""
+    """Returns a jitted fn(voxel_grid, ray_bundle_chunk) -> RendererOutput.
+    Variables are threaded as a jit argument (closures would embed the param
+    tree as program constants)."""
 
     @jax.jit
-    def chunk_render(voxel_grid, bundle: RayBundle):
+    def chunk_render(variables, voxel_grid, bundle: RayBundle):
         return model.apply(
             variables,
             voxel_grid,
@@ -33,7 +35,7 @@ def make_chunk_renderer(model: HoloDiffusionModel, variables):
             method=HoloDiffusionModel.render_rays,
         )
 
-    return chunk_render
+    return lambda voxel_grid, bundle: chunk_render(variables, voxel_grid, bundle)
 
 
 def render_image_chunked(
@@ -129,7 +131,7 @@ def render_image_sharded(
         bundle,
     )
 
-    def shard_render(voxel_grid, bundle_shard):
+    def shard_render(variables, voxel_grid, bundle_shard):
         out = model.apply(
             variables,
             voxel_grid,
@@ -144,12 +146,12 @@ def render_image_sharded(
         jax.shard_map(
             shard_render,
             mesh=mesh,
-            in_specs=(P(), P(None, axis_name)),
+            in_specs=(P(), P(), P(None, axis_name)),
             out_specs=(P(None, axis_name),) * 3,
             check_vma=False,
         )
     )
-    feats, depths, masks = fn(voxel_grid, padded)
+    feats, depths, masks = fn(variables, voxel_grid, padded)
     return {
         "images_render": np.asarray(feats[0, :n_rays, :3]).reshape(H, W, -1),
         "depths_render": np.asarray(depths[0, :n_rays]).reshape(H, W, 1),

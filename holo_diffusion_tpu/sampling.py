@@ -12,6 +12,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from .models import diffusion as gd
 from .models.holo_model import HoloDiffusionModel
 
@@ -46,9 +48,17 @@ def sample_random_voxel_features(
     sched = _schedule(model)
     loop = gd.ddim_sample_loop if use_ddim else gd.p_sample_loop
     kwargs = {} if use_ddim else {"max_iter": max_iter}
-    x = loop(sched, _model_fn(model, params), shape, rng, clip_denoised=True, **kwargs)
-    # clip like the reference's progressive generator (holo_diffusion_model.py:183-185)
-    return jnp.clip(x, -1.0, 1.0)
+
+    # params must be jit ARGUMENTS — closures would embed them as constants
+    @functools.partial(jax.jit, static_argnames=())
+    def run(params, rng):
+        model_fn = lambda x, t: model.apply(
+            params, x, t, method=HoloDiffusionModel.apply_net_3d
+        )
+        x = loop(sched, model_fn, shape, rng, clip_denoised=True, **kwargs)
+        return jnp.clip(x, -1.0, 1.0)
+
+    return run(params, rng)
 
 
 def sample_random_voxel_features_progressive(
@@ -62,8 +72,24 @@ def sample_random_voxel_features_progressive(
     assert model.net_3d_enabled and model.diffusion_enabled
     shape = (1, model.resol, model.resol, model.resol, model.feature_size)
     sched = _schedule(model)
-    for out in gd.p_sample_loop_progressive(
-        sched, _model_fn(model, params), shape, rng, clip_denoised=True,
-        max_iter=max_iter,
-    ):
-        yield jnp.clip(out["sample"], -1.0, 1.0)
+
+    @jax.jit
+    def step(params, x, t, r):
+        model_fn = lambda xx, tt: model.apply(
+            params, xx, tt, method=HoloDiffusionModel.apply_net_3d
+        )
+        return gd.p_sample(sched, model_fn, x, t, r, clip_denoised=True)
+
+    rng, rng_init = jax.random.split(rng)
+    x = jax.random.normal(rng_init, shape)
+    T = sched.num_timesteps
+    if max_iter is None or max_iter >= T:
+        ts = list(range(T - 1, -1, -1))
+    else:
+        ts = list(range(T - 1, T - max_iter, -1)) + [0]
+    for t_scalar in ts:
+        rng, step_rng = jax.random.split(rng)
+        t = jnp.full((shape[0],), t_scalar, jnp.int32)
+        out = step(params, x, t, step_rng)
+        x = out["sample"]
+        yield jnp.clip(x, -1.0, 1.0)

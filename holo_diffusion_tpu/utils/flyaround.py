@@ -216,7 +216,7 @@ def render_flyaround(
         voxel_features = grid[None]
 
     @jax.jit
-    def render_one(camera: PerspectiveCameras, v, step_rng):
+    def render_one(params, camera: PerspectiveCameras, v, step_rng):
         return model.apply(
             params,
             camera=camera,
@@ -243,7 +243,7 @@ def render_flyaround(
                     voxel_features = next(progressive_gen)
                 except StopIteration:
                     break
-        preds = render_one(cam, voxel_features, step_rng)
+        preds = render_one(params, cam, voxel_features, step_rng)
         add_frame("images_render", preds["images_render"][0])
         add_frame("masks_render", np.repeat(preds["masks_render"][0], 3, axis=-1))
         depth = np.asarray(preds["depths_render"][0, ..., 0])
