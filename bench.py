@@ -194,6 +194,63 @@ def bench_render_rays():
     return K * n_views * n_rays / dt
 
 
+def bench_train_step():
+    """Full train-step throughput (pool -> noise -> denoise -> render -> grad
+    -> adam) at base.yaml scale on synthetic data, dispatch-amortized."""
+    import jax
+    import jax.numpy as jnp
+
+    from holo_diffusion_tpu.data import make_synthetic_scene
+    from holo_diffusion_tpu.models.holo_model import HoloDiffusionModel
+    from holo_diffusion_tpu.parallel import TrainState, make_train_step
+    from holo_diffusion_tpu.train import make_optimizer
+
+    model = HoloDiffusionModel(
+        resol=16,
+        volume_extent=8.0,
+        feature_size=64,
+        n_train_target_views=3,
+        n_pts_per_ray_training=64,
+        n_pts_per_ray_fine_training=16,
+        n_rays_per_image=1024,
+        scene_extent=4.0,
+        net_3d_args=dict(
+            model_channels=64, num_res_blocks=2, channel_mult=(1, 1, 2, 4, 8),
+            attention_resolutions=(4, 8), num_heads=2,
+        ),
+        image_feature_extractor_args=dict(
+            name_arch="resnet34", stages=(1, 2, 3, 4), proj_dim=16,
+            image_rescale=0.32,
+        ),
+        render_mlp_args=dict(dnet_hidden_dim=256, rnet_hidden_dim=128),
+    )
+    scene = make_synthetic_scene(n_views=8, image_size=128)
+    _log("[bench] init model ...")
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        camera=scene.camera,
+        image_rgb=scene.image_rgb,
+        fg_probability=scene.fg_probability,
+        mask_crop=scene.mask_crop,
+        training=True,
+        rng=jax.random.PRNGKey(1),
+    )
+    tx = make_optimizer(breed="Adam", lr=5e-5)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, mesh=None, donate=False)
+    _log("[bench] compiling train step ...")
+    rng = jax.random.PRNGKey(2)
+    for _ in range(2):
+        state, metrics = step(state, scene, rng)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    iters = 20
+    for _ in range(iters):
+        state, metrics = step(state, scene, rng)
+    jax.block_until_ready(metrics)
+    return iters / (time.perf_counter() - t0)
+
+
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
         phase = sys.argv[2]
@@ -201,6 +258,7 @@ def main():
             "probe": _probe_device,
             "denoise": bench_denoise_step,
             "render": bench_render_rays,
+            "train": bench_train_step,
         }[phase]
         out = fn()
         print(out if phase == "probe" else float(out), flush=True)
@@ -223,6 +281,7 @@ def main():
 
     steps_per_sec = _run_phase("denoise", 2400)
     rays_per_sec = _run_phase("render", 1200)
+    train_steps_per_sec = _run_phase("train", 1800)
     print(
         json.dumps(
             {
@@ -233,6 +292,9 @@ def main():
                 "extra": {
                     "rendered_rays_per_sec": (
                         round(rays_per_sec, 1) if rays_per_sec else None
+                    ),
+                    "train_steps_per_sec": (
+                        round(train_steps_per_sec, 3) if train_steps_per_sec else None
                     ),
                     "device": "probe_ok",
                 },

@@ -140,7 +140,6 @@ def trilinear_sample_onehot_xla(
     D, H, W, C = grid.shape
     G = D * H * W
     shape = points.shape[:-1]
-    n = int(jnp.prod(jnp.asarray(shape))) if shape else 1
     pts = points.reshape(-1, 3)
     n = pts.shape[0]
     n_pad = -n % block_n

@@ -13,25 +13,18 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit_scan(fn, grid, pts, K=20, warmup=2, iters=5):
-    @jax.jit
-    def k_reps(grid, pts):
-        def body(carry, i):
-            # nudge points per rep so XLA can't CSE the gathers away
-            out = fn(grid, pts + i * 1e-6)
-            return carry + jnp.sum(out), None
-
-        total, _ = jax.lax.scan(body, 0.0, jnp.arange(K, dtype=jnp.float32))
-        return total
-
+def timeit_scan(fn, grid, pts, warmup=2, iters=8):
+    """Time one materialized call; N is sized so device time >> the ~30ms
+    tunnel dispatch latency."""
+    jfn = jax.jit(fn)
     for _ in range(warmup):
-        out = k_reps(grid, pts)
+        out = jfn(grid, pts)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = k_reps(grid, pts)
+        out = jfn(grid, pts)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / (iters * K)
+    return (time.perf_counter() - t0) / iters
 
 
 def main():
@@ -42,7 +35,7 @@ def main():
     from holo_diffusion_tpu.ops.voxel import sample_voxel_grid_world
 
     print(f"device: {jax.devices()[0]}", flush=True)
-    N = 3 * 1024 * 144  # train-scale point count (3 targets x 1024 rays x 144 pts)
+    N = 8 * 1024 * 1024  # big enough that compute dominates dispatch latency
     for resol, C in [(16, 64), (32, 128)]:
         grid = jax.random.normal(
             jax.random.PRNGKey(0), (resol, resol, resol, C), jnp.float32

@@ -151,3 +151,41 @@ def test_experiment_train_resume(tmp_path):
     assert int(state2.step) > int(2)  # continued past restored steps
     found2 = find_last_checkpoint(exp.exp_dir)
     assert found2[0] == 2
+
+
+@pytest.mark.slow
+def test_experiment_with_co3d_provider(tmp_path):
+    """Config -> CO3D loader -> one training epoch end-to-end on a fake
+    CO3Dv2 tree."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_co3d import _make_fake_co3d
+
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    cat = _make_fake_co3d(root, n_seq=2, n_frames=4, H=40, W=48)
+    cfg = _tiny_synthetic_cfg(tmp_path)
+    apply_dotted_overrides(
+        cfg,
+        [
+            "data_source_ImplicitronDataSource_args."
+            "dataset_map_provider_class_type=JsonIndexDatasetMapProviderV2",
+            "data_source_ImplicitronDataSource_args."
+            f"dataset_map_provider_JsonIndexDatasetMapProviderV2_args.category={cat}",
+            "data_source_ImplicitronDataSource_args."
+            f"dataset_map_provider_JsonIndexDatasetMapProviderV2_args.dataset_root={root}",
+            "data_source_ImplicitronDataSource_args."
+            "dataset_map_provider_JsonIndexDatasetMapProviderV2_args."
+            "dataset_JsonIndexDataset_args.image_height=32",
+            "data_source_ImplicitronDataSource_args."
+            "dataset_map_provider_JsonIndexDatasetMapProviderV2_args."
+            "dataset_JsonIndexDataset_args.image_width=32",
+            f"exp_dir={tmp_path}/co3d_exp",
+        ],
+    )
+    exp = Experiment(cfg)
+    assert len(exp.data.train) == 2
+    state, stats = exp.run(max_epochs=1, use_mesh=False)
+    assert stats.epoch == 0
+    assert np.isfinite(stats.history[0]["train"]["objective"])
