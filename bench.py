@@ -52,15 +52,22 @@ def _run_phase(name, seconds):
 
 
 def _timeit(fn, *args, warmup=2, iters=10):
+    """Device->host fetch after the loop forces true completion (the tunnel's
+    block_until_ready can return before the device finishes)."""
     import jax
+    import numpy as np
+
+    def force(o):
+        leaf = jax.tree.leaves(o)[0]
+        return np.asarray(leaf).ravel()[0]
 
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)
     return (time.perf_counter() - t0) / iters
 
 

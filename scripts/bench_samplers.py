@@ -15,15 +15,18 @@ import jax.numpy as jnp
 
 def timeit_scan(fn, grid, pts, warmup=2, iters=8):
     """Time one materialized call; N is sized so device time >> the ~30ms
-    tunnel dispatch latency."""
+    tunnel dispatch latency. A device->host fetch of the result forces true
+    completion (block_until_ready through the tunnel can return early)."""
+    import numpy as np
+
     jfn = jax.jit(fn)
     for _ in range(warmup):
         out = jfn(grid, pts)
-    jax.block_until_ready(out)
+    _ = np.asarray(out[:4, :4])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = jfn(grid, pts)
-    jax.block_until_ready(out)
+    _ = np.asarray(out[:4, :4])
     return (time.perf_counter() - t0) / iters
 
 
@@ -35,7 +38,7 @@ def main():
     from holo_diffusion_tpu.ops.voxel import sample_voxel_grid_world
 
     print(f"device: {jax.devices()[0]}", flush=True)
-    N = 8 * 1024 * 1024  # big enough that compute dominates dispatch latency
+    N = 2 * 1024 * 1024  # large enough that compute dominates dispatch latency
     for resol, C in [(16, 64), (32, 128)]:
         grid = jax.random.normal(
             jax.random.PRNGKey(0), (resol, resol, resol, C), jnp.float32
