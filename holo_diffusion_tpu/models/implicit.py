@@ -36,9 +36,10 @@ class VoxelGridImplicitFunction(nn.Module):
     feature_dim: int = 0  # forced to 0 by the model (holo_diffusion_model.py:157)
     render_normals: bool = False
     render_mlp_args: dict = None
-    # voxel sampling strategy: "gather" (XLA gather), "pallas" (VMEM one-hot
-    # MXU kernel, ops/pallas/fused_render.py), "onehot_xla"
-    sampler: str = "gather"
+    # voxel sampling strategy: "packed" (corner-packed single gather — the
+    # fastest on TPU, see ops/voxel.py::pack_corner_grid), "gather" (plain
+    # XLA 8-gather), "pallas"/"onehot_xla" (one-hot MXU variants)
+    sampler: str = "packed"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -52,6 +53,17 @@ class VoxelGridImplicitFunction(nn.Module):
         self.render_mlp = RenderMLP(**args)
 
     def _sample(self, voxel_grid, points):
+        if self.sampler == "packed":
+            from ..ops.voxel import (
+                pack_corner_grid,
+                sample_packed_voxel_grid_world,
+            )
+
+            # XLA CSEs the packing across passes inside one jit program
+            packed = pack_corner_grid(voxel_grid)
+            return sample_packed_voxel_grid_world(
+                packed, points, self.volume_extent
+            )
         if self.sampler == "pallas":
             from ..ops.pallas.fused_render import trilinear_sample_pallas
 

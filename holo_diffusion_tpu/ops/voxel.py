@@ -96,3 +96,68 @@ def sample_voxel_grid_world(
                 contrib = vals * (w * inside)[..., None]
                 out = contrib if out is None else out + contrib
     return out
+
+
+def pack_corner_grid(grid: jnp.ndarray) -> jnp.ndarray:
+    """Pack each cell's 2x2x2 corner neighborhood into its row:
+    packed[z, y, x] = concat over (dz, dy, dx) of grid[z+dz, y+dy, x+dx]
+    (zero-padded at the +1 edges). Returns (D, H, W, 8*C).
+
+    Rationale (measured on TPU v5e): XLA row-gathers are ISSUE-bound
+    (~constant cost per row, independent of row width), so one gather of an
+    8C-wide row beats 8 gathers of C-wide rows by ~8x. The packing itself is
+    8 shifted copies — trivial bandwidth once per render.
+    """
+    D, H, W, C = grid.shape
+    padded = jnp.pad(grid, ((0, 1), (0, 1), (0, 1), (0, 0)))
+    parts = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                parts.append(padded[dz:dz + D, dy:dy + H, dx:dx + W])
+    return jnp.concatenate(parts, axis=-1)
+
+
+def sample_packed_voxel_grid_world(
+    packed: jnp.ndarray,
+    points_world: jnp.ndarray,
+    extent: float,
+) -> jnp.ndarray:
+    """Trilinear sampling from a corner-packed grid (see pack_corner_grid):
+    ONE row-gather per point + an in-register lerp. Exactly equivalent to
+    `sample_voxel_grid_world(grid, ...)` for packed = pack_corner_grid(grid).
+
+    packed: (D, H, W, 8*C); points_world: (..., 3) -> (..., C).
+    """
+    D, H, W, C8 = packed.shape
+    C = C8 // 8
+    voxel_size = extent / D
+
+    ix = points_world[..., 0] / voxel_size + (W - 1) / 2.0
+    iy = points_world[..., 1] / voxel_size + (H - 1) / 2.0
+    iz = points_world[..., 2] / voxel_size + (D - 1) / 2.0
+    x0, y0, z0 = jnp.floor(ix), jnp.floor(iy), jnp.floor(iz)
+    fx, fy, fz = ix - x0, iy - y0, iz - z0
+
+    xc = jnp.clip(x0, 0, W - 1).astype(jnp.int32)
+    yc = jnp.clip(y0, 0, H - 1).astype(jnp.int32)
+    zc = jnp.clip(z0, 0, D - 1).astype(jnp.int32)
+    lin = (zc * H + yc) * W + xc
+    rows = packed.reshape(-1, C8)[lin]  # ONE gather: (..., 8C)
+    corners = rows.reshape(*rows.shape[:-1], 8, C)
+
+    # Chunk (dz, dy, dx) holds grid[clipped_base + d]; its weight must come
+    # from the chunk's ABSOLUTE position q: w(q) = relu(1 - |i - q|) per axis
+    # (handles base cells clipped up from -1; out-of-range +1 chunks read the
+    # zero padding, so value * positive weight is still 0 outside).
+    out = 0.0
+    ci = 0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(ix - (xc + dx)))
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy - (yc + dy)))
+                wz = jnp.maximum(0.0, 1.0 - jnp.abs(iz - (zc + dz)))
+                out = out + corners[..., ci, :] * (wx * wy * wz)[..., None]
+                ci += 1
+    return out

@@ -193,3 +193,26 @@ def test_rasterize_sparse_rays_roundtrip():
         np.asarray(images).reshape(H * W, 3), img[0], atol=1e-6
     )
     np.testing.assert_allclose(np.asarray(masks), 1.0, atol=1e-6)
+
+
+def test_packed_sampler_matches_gather():
+    from holo_diffusion_tpu.ops.voxel import (
+        pack_corner_grid,
+        sample_packed_voxel_grid_world,
+    )
+
+    rng = np.random.RandomState(3)
+    grid = jnp.asarray(rng.randn(6, 6, 6, 5), jnp.float32)
+    extent = 8.0
+    pts = jnp.asarray(rng.uniform(-5.0, 5.0, (1000, 3)), jnp.float32)
+    ref = sample_voxel_grid_world(grid, pts, extent)
+    packed = pack_corner_grid(grid)
+    assert packed.shape == (6, 6, 6, 40)
+    out = sample_packed_voxel_grid_world(packed, pts, extent)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # golden cross-check vs torch grid_sample fixtures
+    g2 = jnp.asarray(np.moveaxis(GOLD["grid"][0], 0, -1))
+    out2 = sample_packed_voxel_grid_world(
+        pack_corner_grid(g2), jnp.asarray(GOLD["world"]), float(GOLD["extent"])
+    )
+    np.testing.assert_allclose(np.asarray(out2)[0], GOLD["sampled"], atol=1e-5)
