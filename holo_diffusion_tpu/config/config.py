@@ -186,6 +186,7 @@ def model_args_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         # implicit function
         render_normals=impl.get("render_normals", False),
         render_mlp_args=impl.get("render_mlp_args", None),
+        sampler=impl.get("sampler", "packed"),
     )
     if m.get("net_3d_enabled", True):
         net = m.get("net_3d_SimpleUnet3D_args", {})

@@ -163,6 +163,7 @@ class Experiment:
         print_interval = self.loop_args["metric_print_interval"]
         val_interval = self.loop_args["validation_interval"]
         vis_interval = self.loop_args.get("visualize_interval", 0)
+        test_interval = self.loop_args.get("test_interval", -1)
         stats.epoch = start_epoch - 1
 
         for epoch in range(start_epoch, max_epochs):
@@ -216,6 +217,24 @@ class Experiment:
                         out, os.path.join(self.exp_dir, "visuals"), "val", epoch
                     )
 
+            # periodic test eval (training_loop.py:273-279)
+            if (
+                test_interval > 0
+                and epoch % test_interval == 0
+                and not self.cfg.get("disable_testing", True)
+            ):
+                from .evaluation import evaluate_new_view_synthesis
+
+                res = evaluate_new_view_synthesis(
+                    self.model,
+                    jax.device_get(state.variables()),
+                    (self.data.val.scenes or self.data.train.scenes)[:4],
+                    dump_path=os.path.join(
+                        self.exp_dir, f"eval_epoch_{epoch:08d}.json"
+                    ),
+                )
+                logger.info(f"test eval @ {epoch}: {res['overall']}")
+
             stats.finalize_epoch()
             if self.loop_args["store_checkpoints"]:
                 save_checkpoint(
@@ -234,4 +253,16 @@ class Experiment:
                         )
                     except Exception as e:  # noqa: BLE001
                         logger.warning(f"stats plot failed: {e}")
+
+        if self.loop_args.get("test_when_finished") and not self.cfg.get(
+            "disable_testing", True
+        ):
+            from .evaluation import evaluate_new_view_synthesis
+
+            evaluate_new_view_synthesis(
+                self.model,
+                jax.device_get(state.variables()),
+                (self.data.val.scenes or self.data.train.scenes)[:4],
+                dump_path=os.path.join(self.exp_dir, "eval_final.json"),
+            )
         return state, stats

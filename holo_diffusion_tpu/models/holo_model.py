@@ -112,6 +112,7 @@ class HoloDiffusionModel(nn.Module):
     # ---- implicit function
     render_normals: bool = False
     render_mlp_args: Optional[dict] = None
+    sampler: str = "packed"  # voxel sampling strategy (see models/implicit.py)
 
     loss_weights: Optional[Dict[str, float]] = None
     dtype: Any = jnp.float32
@@ -153,6 +154,7 @@ class HoloDiffusionModel(nn.Module):
             feature_dim=0,  # no extra rendered features (holo_diffusion_model.py:157)
             render_normals=self.render_normals,
             render_mlp_args=self.render_mlp_args,
+            sampler=self.sampler,
             name="implicit_function",
         )
         if self.diffusion_enabled:
