@@ -714,3 +714,29 @@ def update_ema(ema_params, params, rate: float = 0.9999):
     (1-rate)*params. Exposed for parity; the release training does not use
     EMA."""
     return jax.tree.map(lambda e, p: e * rate + (1.0 - rate) * p, ema_params, params)
+
+
+def create_named_schedule_sampler(name: str, sched: DiffusionSchedule):
+    """Name-based timestep-sampler factory (timestep_sampler.py:14-26).
+
+    Returns (sample_fn(batch, rng[, state]) -> (t, weights), initial_state);
+    state is None for "uniform", a LossSecondMomentState for
+    "loss-second-moment" (update it with `loss_aware_update` on the
+    all-gathered per-t losses).
+    """
+    if name == "uniform":
+        return (
+            lambda batch, rng, state=None: uniform_sample_timesteps(
+                sched, batch, rng
+            ),
+            None,
+        )
+    if name == "loss-second-moment":
+        state0 = LossSecondMomentState.create(sched.num_timesteps)
+        return (
+            lambda batch, rng, state: loss_aware_sample_timesteps(
+                sched, state, batch, rng
+            ),
+            state0,
+        )
+    raise NotImplementedError(f"unknown schedule sampler: {name}")
