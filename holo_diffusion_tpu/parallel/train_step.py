@@ -74,12 +74,18 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
     donate: bool = True,
+    steps_per_call: int = 1,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     With a mesh: `batch` has a leading device axis (n_dev, B, ...) sharded over
     `axis_name`; params/optimizer state replicated; grads pmean'd over ICI.
     Without a mesh: plain single-device jit.
+
+    steps_per_call > 1: batch leaves carry an extra LEADING step axis
+    ((K, B, ...) or (K, n_dev, B, ...)) and K optimizer steps run as ONE
+    lax.scan inside a single dispatch — amortizes host->device dispatch
+    latency (measured ~30 ms on the tunnel); metrics are averaged over K.
     """
 
     def device_step(state: TrainState, batch: FrameData, rng: jax.Array):
@@ -102,10 +108,17 @@ def make_train_step(
         )(state.params)
         return grads, metrics, new_model_state
 
+    def _scan_steps(one_step, state, batch, rng):
+        """Run K chained optimizer steps over a leading step axis."""
+        rngs = jax.random.split(rng, steps_per_call)
+        state, metrics = jax.lax.scan(
+            lambda st, inp: one_step(st, inp[0], inp[1]), state, (batch, rngs)
+        )
+        return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics)
+
     if mesh is None:
 
-        @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-        def train_step(state: TrainState, batch: FrameData, rng: jax.Array):
+        def one_step(state: TrainState, batch: FrameData, rng: jax.Array):
             grads, metrics, new_model_state = device_step(state, batch, rng)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
@@ -119,12 +132,16 @@ def make_train_step(
                 metrics,
             )
 
+        @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+        def train_step(state: TrainState, batch: FrameData, rng: jax.Array):
+            if steps_per_call == 1:
+                return one_step(state, batch, rng)
+            return _scan_steps(one_step, state, batch, rng)
+
         return train_step
 
     # ---- SPMD over the mesh
-    def spmd_step(state: TrainState, batch: FrameData, rng: jax.Array):
-        # batch leaves arrive as (1, B, ...) shards -> drop the device axis
-        local = jax.tree.map(lambda x: x[0], batch)
+    def spmd_one_step(state: TrainState, local: FrameData, rng: jax.Array):
         # decorrelate per-device randomness
         idx = jax.lax.axis_index(axis_name)
         rng = jax.random.fold_in(rng, idx)
@@ -165,8 +182,17 @@ def make_train_step(
             metrics,
         )
 
+    def spmd_step(state: TrainState, batch: FrameData, rng: jax.Array):
+        if steps_per_call == 1:
+            # batch leaves arrive as (1, B, ...) shards -> drop the device axis
+            local = jax.tree.map(lambda x: x[0], batch)
+            return spmd_one_step(state, local, rng)
+        # (K, 1, B, ...) shards -> (K, B, ...)
+        local = jax.tree.map(lambda x: x[:, 0], batch)
+        return _scan_steps(spmd_one_step, state, local, rng)
+
     replicated = P()
-    sharded = P(axis_name)
+    sharded = P(axis_name) if steps_per_call == 1 else P(None, axis_name)
     spmd = jax.shard_map(
         spmd_step,
         mesh=mesh,

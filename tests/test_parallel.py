@@ -181,3 +181,45 @@ def test_loss_aware_sampler_sync_across_devices():
     losses = jnp.linspace(0.1, 1.0, 8)
     new_state = fn(state, ts, losses)
     assert int(jnp.sum(new_state.loss_counts)) == 8
+
+
+def test_multi_step_scan_matches_sequential(setup):
+    """K steps_per_call (one dispatch) must equal K sequential single steps."""
+    model, variables, tx = setup
+    sgd = optax.sgd(1e-3)
+    stacked = _stacked_scenes(3, n_views=2, image_size=16)  # 3 "steps"
+
+    # sequential
+    st_a = TrainState.create(variables, sgd)
+    step1 = make_train_step(model, sgd, mesh=None, donate=False)
+    rng = jax.random.PRNGKey(11)
+    rngs = jax.random.split(rng, 3)
+    for i in range(3):
+        batch_i = jax.tree.map(lambda x: x[i], stacked)
+        st_a, _ = step1(st_a, batch_i, rngs[i])
+
+    # one scanned dispatch
+    st_b = TrainState.create(variables, sgd)
+    step3 = make_train_step(model, sgd, mesh=None, donate=False, steps_per_call=3)
+    st_b, metrics = step3(st_b, stacked, rng)
+
+    assert int(st_b.step) == 3
+    for a, b in zip(jax.tree.leaves(st_a.params), jax.tree.leaves(st_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_multi_step_scan_on_mesh(setup):
+    model, variables, tx = setup
+    mesh = make_mesh(n_devices=2)
+    # (K=2 steps, n_dev=2, B, ...)
+    steps = [_stacked_scenes(2, n_views=2, image_size=16) for _ in range(2)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *steps)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(None, "data"))
+    batch = jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, mesh=mesh, donate=False, steps_per_call=2)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(12))
+    assert int(new_state.step) == 2
+    assert jnp.isfinite(metrics["objective"])
