@@ -30,6 +30,14 @@ from .data.source import AsyncLoader, SyntheticDataProvider, device_batched_load
 from .models.holo_model import HoloDiffusionModel
 from .parallel import TrainState, make_eval_step, make_mesh, make_train_step, shard_batch
 from .parallel.mesh import replicate
+
+
+def _shard_stepped(batch, mesh, axis_name: str = "data"):
+    """Place (K, n_dev, ...) step-stacked batches: sharded on axis 1."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(None, axis_name))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 from .train import make_lr_schedule, make_optimizer
 from .train.checkpoint import find_last_checkpoint, restore_checkpoint, save_checkpoint
 from .train.stats import Stats
@@ -137,6 +145,9 @@ class Experiment:
 
         mesh = make_mesh() if (use_mesh and jax.device_count() > 1) else None
         n_dev = mesh.devices.size if mesh is not None else 1
+        # scan K optimizer steps inside one dispatch (amortizes host->device
+        # dispatch latency; our extension, default 1)
+        steps_per_dispatch = max(1, int(self.cfg.get("steps_per_dispatch", 1)))
 
         state = self.init_state()
         stats = Stats.load_or_new(os.path.join(self.exp_dir, "train_stats.json"))
@@ -156,7 +167,10 @@ class Experiment:
 
         if mesh is not None:
             state = replicate(state, mesh)
-        train_step = make_train_step(self.model, self.tx, mesh=mesh, donate=True)
+        train_step = make_train_step(
+            self.model, self.tx, mesh=mesh, donate=True,
+            steps_per_call=steps_per_dispatch,
+        )
         eval_step = make_eval_step(self.model)
 
         max_epochs = max_epochs or self.loop_args["max_epochs"]
@@ -172,20 +186,37 @@ class Experiment:
             stats.new_epoch()
             rng = jax.random.PRNGKey(self.seed + epoch)
 
-            n_host_batches = max(1, self.n_batches_train // n_dev)
+            n_host_batches = max(
+                1, self.n_batches_train // (n_dev * steps_per_dispatch)
+            )
             if mesh is not None:
                 loader = device_batched_loader(
-                    self.data.train, self.batch_size, n_host_batches,
-                    self.seed + epoch, n_dev,
+                    self.data.train, self.batch_size,
+                    n_host_batches * steps_per_dispatch, self.seed + epoch, n_dev,
                 )
             else:
                 loader = epoch_loader(
-                    self.data.train, self.batch_size, n_host_batches,
-                    self.seed + epoch,
+                    self.data.train, self.batch_size,
+                    n_host_batches * steps_per_dispatch, self.seed + epoch,
                 )
-            for it, batch in enumerate(AsyncLoader(loader)):
+
+            def _group_steps(it):
+                """Stack steps_per_dispatch batches on a leading step axis."""
+                if steps_per_dispatch == 1:
+                    yield from it
+                    return
+                group = []
+                for b in it:
+                    group.append(b)
+                    if len(group) == steps_per_dispatch:
+                        yield jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                        group = []
+
+            for it, batch in enumerate(AsyncLoader(_group_steps(loader))):
                 if mesh is not None:
-                    batch = shard_batch(batch, mesh)
+                    batch = shard_batch(
+                        batch, mesh,
+                    ) if steps_per_dispatch == 1 else _shard_stepped(batch, mesh)
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = train_step(state, batch, step_rng)
                 stats.update({k: v for k, v in metrics.items()}, "train")

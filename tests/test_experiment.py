@@ -189,3 +189,13 @@ def test_experiment_with_co3d_provider(tmp_path):
     state, stats = exp.run(max_epochs=1, use_mesh=False)
     assert stats.epoch == 0
     assert np.isfinite(stats.history[0]["train"]["objective"])
+
+
+@pytest.mark.slow
+def test_experiment_steps_per_dispatch(tmp_path):
+    cfg = _tiny_synthetic_cfg(tmp_path)
+    apply_dotted_overrides(cfg, ["steps_per_dispatch=2", f"exp_dir={tmp_path}/spd"])
+    exp = Experiment(cfg)
+    state, stats = exp.run(max_epochs=1, use_mesh=True)
+    assert int(jax.device_get(state.step)) >= 2
+    assert np.isfinite(stats.history[0]["train"]["objective"])
