@@ -1,6 +1,7 @@
 """Tests for the dims-generalized UNet + variant models (SuperRes, EncoderUNet,
 AttentionPool, class conditioning)."""
 import jax
+import numpy as np
 import jax.numpy as jnp
 import pytest
 
@@ -83,3 +84,39 @@ def test_attention_pool():
     x = jnp.ones((3, 4, 4, 32))
     params = m.init(jax.random.PRNGKey(0), x)
     assert m.apply(params, x).shape == (3, 7)
+
+
+def test_resblock_gigagan():
+    from holo_diffusion_tpu.models.unet_gigagan import ResBlockGigaGAN
+
+    m = ResBlockGigaGAN(out_channels=64, dims=2)
+    x = jnp.ones((1, 8, 8, 32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(params, x).shape == (1, 8, 8, 64)
+    m_down = ResBlockGigaGAN(out_channels=32, dims=2, down=True)
+    p2 = m_down.init(jax.random.PRNGKey(0), x)
+    assert m_down.apply(p2, x).shape == (1, 4, 4, 32)
+
+
+def test_local_attention_window():
+    from holo_diffusion_tpu.models.unet_gigagan import QKVLocalAttention
+
+    m = QKVLocalAttention(num_heads=2, window=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32))
+    params = m.init(jax.random.PRNGKey(1), x)
+    out = m.apply(params, x)
+    assert out.shape == x.shape
+    # zero-init proj -> residual identity at init
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_asymmetric_unet():
+    from holo_diffusion_tpu.models.unet_gigagan import AsymmetricUNetModel
+
+    m = AsymmetricUNetModel(
+        in_channels=3, model_channels=32, out_channels=3, num_res_blocks=1,
+        channel_mult=(1, 2), attention_resolutions=(2,),
+    )
+    x = jnp.zeros((1, 16, 16, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(params, x).shape == (1, 16, 16, 3)
