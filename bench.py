@@ -244,18 +244,26 @@ def bench_train_step():
     )
     tx = make_optimizer(breed="Adam", lr=5e-5)
     state = TrainState.create(variables, tx)
-    step = make_train_step(model, tx, mesh=None, donate=False)
+    # K chained steps per dispatch (steps_per_dispatch feature) — measures
+    # sustained training throughput with the tunnel dispatch amortized
+    K = 5
+    step = make_train_step(model, tx, mesh=None, donate=False, steps_per_call=K)
+    batch = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (K, *x.shape)), scene
+    )
     _log("[bench] compiling train step ...")
     rng = jax.random.PRNGKey(2)
+    import numpy as np
+
     for _ in range(2):
-        state, metrics = step(state, scene, rng)
-    jax.block_until_ready(metrics)
+        state, metrics = step(state, batch, rng)
+    float(np.asarray(metrics["objective"]))
     t0 = time.perf_counter()
-    iters = 20
+    iters = 6
     for _ in range(iters):
-        state, metrics = step(state, scene, rng)
-    jax.block_until_ready(metrics)
-    return iters / (time.perf_counter() - t0)
+        state, metrics = step(state, batch, rng)
+    float(np.asarray(metrics["objective"]))
+    return iters * K / (time.perf_counter() - t0)
 
 
 def main():
