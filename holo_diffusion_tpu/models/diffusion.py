@@ -99,6 +99,9 @@ class DiffusionSchedule:
     fixed_large_log_variance: jnp.ndarray
     model_mean_type: str = struct.field(pytree_node=False, default=START_X)
     model_var_type: str = struct.field(pytree_node=False, default=FIXED_SMALL)
+    # scale t by 1000/T before the model (gaussian_diffusion.py:417-419);
+    # False in all HoloDiffusion configs
+    rescale_timesteps: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_timesteps(self) -> int:
@@ -109,6 +112,7 @@ def make_schedule(
     betas: np.ndarray,
     model_mean_type: str = START_X,
     model_var_type: str = FIXED_SMALL,
+    rescale_timesteps: bool = False,
     dtype=jnp.float32,
 ) -> DiffusionSchedule:
     """Precompute all schedule arrays in float64 (gaussian_diffusion.py:150-187)."""
@@ -148,7 +152,14 @@ def make_schedule(
         fixed_large_log_variance=as_dev(np.log(fixed_large_variance)),
         model_mean_type=model_mean_type,
         model_var_type=model_var_type,
+        rescale_timesteps=rescale_timesteps,
     )
+
+
+def _scale_timesteps(sched: "DiffusionSchedule", t):
+    if sched.rescale_timesteps:
+        return t.astype(jnp.float32) * (1000.0 / sched.num_timesteps)
+    return t
 
 
 def make_named_schedule(
@@ -251,7 +262,7 @@ def p_mean_variance(
     """p(x_{t-1} | x_t) mean/variance + pred_xstart
     (gaussian_diffusion.py:253-355). Channels-last: variance split uses the
     LAST axis for LEARNED/LEARNED_RANGE outputs."""
-    model_output = model_fn(x, t)
+    model_output = model_fn(x, _scale_timesteps(sched, t))
 
     if sched.model_var_type in (LEARNED, LEARNED_RANGE):
         C = x.shape[-1]
@@ -335,10 +346,13 @@ def p_sample(
     clip_denoised: bool = True,
     denoised_fn: Optional[Callable] = None,
     cond_fn: Optional[Callable] = None,
+    noise: Optional[jnp.ndarray] = None,
 ):
-    """One DDPM ancestral step (gaussian_diffusion.py:459-508)."""
+    """One DDPM ancestral step (gaussian_diffusion.py:459-508). `noise`
+    overrides the PRNG draw (the reference's pluggable noise_sampler)."""
     out = p_mean_variance(sched, model_fn, x, t, clip_denoised, denoised_fn)
-    noise = jax.random.normal(rng, x.shape, x.dtype)
+    if noise is None:
+        noise = jax.random.normal(rng, x.shape, x.dtype)
     nonzero_mask = (t != 0).astype(x.dtype).reshape(-1, *([1] * (x.ndim - 1)))
     mean = out["mean"]
     if cond_fn is not None:
@@ -580,7 +594,7 @@ def training_losses(
             loss = loss * sched.num_timesteps
         return {"loss": loss}
 
-    model_output = model_fn(x_t, t)
+    model_output = model_fn(x_t, _scale_timesteps(sched, t))
     target = {
         PREVIOUS_X: q_posterior_mean_variance(sched, x_start, x_t, t)[0],
         START_X: x_start,
