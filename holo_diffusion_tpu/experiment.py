@@ -45,6 +45,15 @@ from .train.stats import Stats
 logger = logging.getLogger(__name__)
 
 
+def _model_cfg_log_vars(cfg):
+    """Optional `log_vars` list from the model config
+    (holo_diffusion_model.py:78-109); None -> log everything scalar."""
+    m = cfg.get("model_factory_ImplicitronModelFactory_args", {}).get(
+        "model_HoloDiffusionModel_args", {}
+    )
+    return m.get("log_vars")
+
+
 def seed_all_random_engines(seed: int):
     """np/python seeding (trainer/utils.py:24-27); jax PRNG is explicit."""
     import random
@@ -150,7 +159,10 @@ class Experiment:
         steps_per_dispatch = max(1, int(self.cfg.get("steps_per_dispatch", 1)))
 
         state = self.init_state()
-        stats = Stats.load_or_new(os.path.join(self.exp_dir, "train_stats.json"))
+        log_vars = _model_cfg_log_vars(self.cfg)
+        stats = Stats.load_or_new(
+            os.path.join(self.exp_dir, "train_stats.json"), log_vars=log_vars
+        )
         start_epoch = 0
         mf = self.cfg.get("model_factory_ImplicitronModelFactory_args", {})
         if mf.get("resume", True):

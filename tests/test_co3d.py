@@ -150,3 +150,17 @@ def test_co3d_provider_loads_fake_dataset(tmp_path):
     batch = provider.train.sample_batch(np.random.RandomState(0), 3)
     assert batch.image_rgb.shape[0] == 3
     assert len(set(np.asarray(batch.sequence_id).tolist())) == 1
+
+
+def test_co3d_depth_loading(tmp_path):
+    """CO3D stores float16 depth bits in uint16 PNGs — exercise the decode."""
+    import gzip
+    import json as json_
+
+    from holo_diffusion_tpu.data.co3d import _load_depth
+
+    depth = np.random.RandomState(0).rand(12, 14).astype(np.float16) * 3.0
+    path = str(tmp_path / "d.png")
+    Image.fromarray(depth.view(np.uint16), mode="I;16").save(path)
+    loaded = _load_depth(path, scale=2.0)
+    np.testing.assert_allclose(loaded, depth.astype(np.float32) * 2.0, atol=1e-3)
