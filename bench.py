@@ -296,7 +296,7 @@ def main():
 
     steps_per_sec = _run_phase("denoise", 2400)
     rays_per_sec = _run_phase("render", 1200)
-    train_steps_per_sec = _run_phase("train", 1800)
+    train_steps_per_sec = _run_phase("train", 2400)
     print(
         json.dumps(
             {
