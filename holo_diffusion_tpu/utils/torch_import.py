@@ -272,3 +272,143 @@ def merge_params(base_variables: Dict, imported: Dict) -> Dict:
 
     rec(out, imported)
     return out
+
+
+def convert_holo_model_state_dict(
+    state_dict: Mapping[str, np.ndarray],
+    base_variables: Dict,
+    num_res_blocks: int = 2,
+    channel_mult=(1, 1, 2, 4, 8),
+    attention_resolutions=(4, 8),
+    dnet_num_layers: int = 4,
+    rnet_num_layers: int = 1,
+    resnet_layers=(3, 4, 6, 3),
+    resnet_stages=(1, 2, 3, 4),
+) -> Dict:
+    """Best-effort full-model import: a reference HoloDiffusionModel `.pth`
+    state_dict -> our HoloDiffusionModel variables (BASELINE.md north-star:
+    pixel-level fidelity renders from reference checkpoints).
+
+    Reference submodule prefixes (holo_diffusion_model.py:110-171):
+      * `net_3d._net.*`                    -> params.net_3d
+      * `_implicit_functions.0._fn.render_mlp.*` -> params.implicit_function.render_mlp
+      * `pooled_feature_mapper.*`          -> params.pooled_feature_mapper
+      * `image_feature_extractor.*resnet*` -> params.feature_extractor (torchvision layout)
+      * `view_pooler.feature_aggregator.*` -> params.view_pooler (MLPMean only)
+
+    Unknown/missing pieces keep their values from `base_variables` (pass an
+    `init`ed tree). Returns the merged variables.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out = merge_params(base_variables, {})  # deep copy
+
+    def subset(prefix):
+        return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+    # --- UNet
+    unet_sd = subset("net_3d._net.")
+    if unet_sd:
+        unet = convert_unet_state_dict(
+            unet_sd, num_res_blocks, channel_mult, attention_resolutions
+        )
+        out = merge_params(out, {"params": {"net_3d": unet["params"]}})
+
+    # --- RenderMLP (shared across passes, holo_diffusion_model.py:165-169)
+    for if_prefix in (
+        "_implicit_functions.0._fn.render_mlp.",
+        "implicit_function.render_mlp.",
+    ):
+        rmlp_sd = subset(if_prefix)
+        if rmlp_sd:
+            rmlp = convert_render_mlp(
+                rmlp_sd, "", dnet_num_layers, rnet_num_layers,
+                has_feature_net=any(k.startswith("_feature_net") for k in rmlp_sd),
+            )
+            out = merge_params(
+                out,
+                {"params": {"implicit_function": {"render_mlp": rmlp}}},
+            )
+            break
+
+    # --- pooled feature mapper (LazyLinear, holo_diffusion_model.py:113)
+    if "pooled_feature_mapper.weight" in sd:
+        out = merge_params(
+            out,
+            {
+                "params": {
+                    "pooled_feature_mapper": {
+                        "kernel": _linear(sd["pooled_feature_mapper.weight"]),
+                        "bias": sd["pooled_feature_mapper.bias"],
+                    }
+                }
+            },
+        )
+
+    # --- ResNet feature extractor (torchvision-layout keys nested under the
+    # Implicitron wrapper; try known nestings)
+    for fe_prefix in (
+        "image_feature_extractor.net.",
+        "image_feature_extractor._net.",
+        "image_feature_extractor.resnet.",
+    ):
+        fe_sd = subset(fe_prefix)
+        if any(k.startswith("conv1") for k in fe_sd):
+            resnet = convert_resnet_state_dict(
+                fe_sd, layers=resnet_layers, stages=resnet_stages
+            )
+            out = merge_params(
+                out,
+                {
+                    "params": {"feature_extractor": resnet["params"]},
+                    "batch_stats": {"feature_extractor": resnet["batch_stats"]},
+                },
+            )
+            # per-stage projection convs (Implicitron `proj` layers)
+            for li in resnet_stages:
+                for key in (
+                    f"image_feature_extractor.proj_layers.{li - 1}.weight",
+                    f"image_feature_extractor.layer_proj.{li - 1}.weight",
+                ):
+                    if key in sd:
+                        out = merge_params(
+                            out,
+                            {
+                                "params": {
+                                    "feature_extractor": {
+                                        f"proj_layer{li}": {
+                                            "kernel": np.transpose(
+                                                sd[key], (2, 3, 1, 0)
+                                            ),
+                                            "bias": sd[
+                                                key.replace(".weight", ".bias")
+                                            ],
+                                        }
+                                    }
+                                }
+                            },
+                        )
+            break
+
+    # --- MLPMean aggregator (custom_modules.py:162-293)
+    agg_prefix = "view_pooler.feature_aggregator."
+    if f"{agg_prefix}_first_sampled.weight" in sd:
+        agg = {
+            "first_sampled": {
+                "kernel": _linear(sd[f"{agg_prefix}_first_sampled.weight"]),
+                "bias": sd[f"{agg_prefix}_first_sampled.bias"],
+            },
+            "first_mean": {
+                "kernel": _linear(sd[f"{agg_prefix}_first_mean.weight"]),
+                "bias": sd[f"{agg_prefix}_first_mean.bias"],
+            },
+            "last": {
+                "kernel": _linear(sd[f"{agg_prefix}_last.weight"]),
+                "bias": sd[f"{agg_prefix}_last.bias"],
+            },
+            "mlp": convert_mlp_with_input_skips(sd, f"{agg_prefix}_mlp", 1),
+        }
+        out = merge_params(
+            out, {"params": {"view_pooler": {"aggregator": agg}}}
+        )
+
+    return out
