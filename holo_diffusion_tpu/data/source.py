@@ -11,7 +11,7 @@ Providers:
 """
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional
+from typing import Iterator, List
 
 import jax
 import jax.numpy as jnp

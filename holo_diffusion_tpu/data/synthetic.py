@@ -3,7 +3,6 @@
 with the same camera model the framework uses — no external data needed."""
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import logging
 import os
-import time
 from typing import Optional
 
 import jax
@@ -39,7 +38,7 @@ def _shard_stepped(batch, mesh, axis_name: str = "data"):
     sharding = NamedSharding(mesh, P(None, axis_name))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 from .train import make_lr_schedule, make_optimizer
-from .train.checkpoint import find_last_checkpoint, restore_checkpoint, save_checkpoint
+from .train.checkpoint import restore_checkpoint, save_checkpoint
 from .train.stats import Stats
 
 logger = logging.getLogger(__name__)

@@ -10,9 +10,8 @@ support import for parity runs).
 """
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -19,7 +19,7 @@ set `simple_init=False` for guided_diffusion's original init scheme.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

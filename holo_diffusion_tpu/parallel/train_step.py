@@ -12,13 +12,13 @@ all_gather, replacing the reference's dist.all_gather
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..data.frame_data import FrameData
 from ..models.holo_model import HoloDiffusionModel

@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .data.frame_data import FrameData
 from .geometry.cameras import PerspectiveCameras
 from .geometry.rays import RayBundle, sample_rays_full_grid
 from .models.holo_model import HoloDiffusionModel

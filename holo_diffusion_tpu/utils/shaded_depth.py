@@ -12,7 +12,6 @@ lambertian look without a rasterizer dependency.
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from ..geometry.cameras import PerspectiveCameras, camera_centers, unproject_ndc_points
 from ..geometry.rays import pixel_grid_ndc

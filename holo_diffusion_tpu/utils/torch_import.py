@@ -12,7 +12,6 @@ Layout conversions:
 """
 from __future__ import annotations
 
-import re
 from typing import Dict, Mapping
 
 import numpy as np

@@ -10,7 +10,7 @@ grids are projected to RGB with the reference's fixed-seed random projection
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
