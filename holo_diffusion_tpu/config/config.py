@@ -207,6 +207,7 @@ def model_args_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
             beta_end_unscaled=diff.get("beta_end_unscaled", 0.02),
             model_mean_type=diff.get("model_mean_type", "START_X"),
             model_var_type=diff.get("model_var_type", "FIXED_SMALL"),
+            schedule_sampler_type=diff.get("schedule_sampler_type", "uniform"),
         )
     return args
 
@@ -242,6 +243,7 @@ def training_loop_args_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         clip_grad=t.get("clip_grad", 0.0),
         metric_print_interval=t.get("metric_print_interval", 5),
         visualize_interval=t.get("visualize_interval", 100),
+        whole_dataset_batch=t.get("whole_dataset_batch", False),
     )
 
 

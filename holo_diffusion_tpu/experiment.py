@@ -113,6 +113,13 @@ class Experiment:
             schedule=sched,
             group_learning_rates=self.opt_args["group_learning_rates"],
         )
+        # timestep-sampler selection (diffusion_utils.py:97,113)
+        diff_args = self.model_args.get("diffusion_args") or {}
+        self.schedule_sampler = (
+            diff_args.get("schedule_sampler_type", "uniform")
+            if self.model_args.get("diffusion_enabled", True)
+            else "uniform"
+        )
 
     # ------------------------------------------------------------------
     def _build_data_source(self):
@@ -142,9 +149,143 @@ class Experiment:
         )
         n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
         logger.info(f"model has {n_params / 1e6:.2f}M params")
-        return TrainState.create(variables, self.tx)
+        sampler_state = None
+        if self.schedule_sampler == "loss-second-moment":
+            from .models import diffusion as gd
+
+            sampler_state = gd.LossSecondMomentState.create(
+                (self.model_args.get("diffusion_args") or {}).get("num_steps", 1000)
+            )
+        return TrainState.create(variables, self.tx, sampler_state=sampler_state)
 
     # ------------------------------------------------------------------
+    def _val_epoch(self, state, stats, rng, eval_step, epoch):
+        """One EVALUATION epoch over the val set (training_loop.py:253-265).
+
+        Large dense renders (chunk_size_grid > 0, hydrant.yaml:103-112) go
+        through the CHUNKED renderer — constant device memory at any render
+        size; small ones keep the single fused full-grid eval program.
+        """
+        use_chunked = (
+            (self.model.chunk_size_grid or 0) > 0
+            and self.model.sampling_mode_evaluation == "full_grid"
+        )
+        out = None
+        for batch in epoch_loader(
+            self.data.val, self.batch_size, self.n_batches_val, self.seed + epoch
+        ):
+            rng, step_rng = jax.random.split(rng)
+            if use_chunked:
+                out = self._eval_batch_chunked(state, batch, step_rng)
+            else:
+                out = eval_step(state, batch, step_rng)
+            stats.update(
+                {k: v for k, v in out.items() if jnp.ndim(v) == 0}, "val"
+            )
+        return out
+
+    def _eval_batch_chunked(self, state, batch, rng):
+        """EVALUATION forward of one batch via the chunked renderer: encode a
+        grid from the source views (frames 1:), render target frame 0 densely
+        in `chunk_size_grid` ray chunks, score on the host."""
+        from .render_eval import make_chunk_render_fn, render_image_chunked
+
+        model = self.model
+        if getattr(self, "_encode_jit", None) is None:
+            from .models.holo_model import HoloDiffusionModel
+
+            self._encode_jit = jax.jit(
+                lambda v, cam, img, fg, mc: model.apply(
+                    v, cam, img, fg, mc, method=HoloDiffusionModel.encode_eval
+                )
+            )
+            self._chunk_render_jit = make_chunk_render_fn(model)
+
+        variables = state.variables()
+        n = batch.camera.batch_size
+        src = slice(1, None) if n > 1 else slice(0, None)
+        grid = self._encode_jit(
+            variables,
+            batch.camera[src],
+            batch.image_rgb[src],
+            None if batch.fg_probability is None else batch.fg_probability[src],
+            None if batch.mask_crop is None else batch.mask_crop[src],
+        )
+        out = render_image_chunked(
+            model,
+            variables,
+            batch.camera[:1],
+            grid,
+            chunk_renderer=lambda g, b: self._chunk_render_jit(variables, g, b),
+        )
+        # host-side metrics vs the (preprocessed, resized) target frame
+        from .models.metrics import preprocess_input
+
+        gt, fg, _ = preprocess_input(
+            batch.image_rgb[:1],
+            None if batch.fg_probability is None else batch.fg_probability[:1],
+            None,
+            model.mask_images,
+            model.mask_depths,
+            model.mask_threshold,
+            model.bg_color,
+        )
+        H, W = model.render_image_height, model.render_image_width
+        gt = jax.image.resize(gt[0], (H, W, 3), "bilinear")
+        pred = jnp.asarray(out["images_render"])
+        mse = jnp.mean((pred - gt) ** 2)
+        result = {
+            "loss_rgb_mse": mse,
+            "loss_rgb_psnr": -10.0 * jnp.log10(jnp.maximum(mse, 1e-12)),
+            "images_render": pred[None],
+            "depths_render": jnp.asarray(out["depths_render"])[None],
+            "masks_render": jnp.asarray(out["masks_render"])[None],
+        }
+        if fg is not None:
+            fg_r = jax.image.resize(fg[0], (H, W, 1), "bilinear") > 0.5
+            denom = jnp.maximum(fg_r.sum() * 3, 1)
+            mse_fg = jnp.sum(((pred - gt) ** 2) * fg_r) / denom
+            result["loss_rgb_psnr_fg"] = -10.0 * jnp.log10(
+                jnp.maximum(mse_fg, 1e-12)
+            )
+        return result
+
+    def run_eval_only(self, max_epochs: Optional[int] = None, use_mesh: bool = True):
+        """Evaluation-only mode (training_loop.py:177-193): restore the last
+        (or requested) checkpoint, run the novel-view-synthesis evaluator over
+        the held-out scenes, dump json to exp_dir, return the results."""
+        from .evaluation import evaluate_new_view_synthesis
+
+        os.makedirs(self.exp_dir, exist_ok=True)
+        state = self.init_state()
+        epoch = -1
+        mf = self.cfg.get("model_factory_ImplicitronModelFactory_args", {})
+        if mf.get("resume", True):
+            restored, ep = restore_checkpoint(
+                self.exp_dir, state, mf.get("resume_epoch", -1)
+            )
+            if restored is not None:
+                state, epoch = restored, ep
+                logger.info(f"eval_only: restored epoch {ep}")
+            elif mf.get("force_resume", False):
+                raise FileNotFoundError(
+                    f"force_resume: no checkpoint in {self.exp_dir}"
+                )
+            else:
+                logger.warning("eval_only: no checkpoint found; evaluating "
+                               "the freshly initialized model")
+        scenes = (self.data.val.scenes or self.data.train.scenes)
+        res = evaluate_new_view_synthesis(
+            self.model,
+            jax.device_get(state.variables()),
+            scenes,
+            dump_path=os.path.join(
+                self.exp_dir, f"eval_results_epoch_{max(epoch, 0):08d}.json"
+            ),
+        )
+        logger.info(f"eval_only results: {res['overall']}")
+        return res
+
     def run(self, max_epochs: Optional[int] = None, use_mesh: bool = True):
         os.makedirs(self.exp_dir, exist_ok=True)
         dump_expconfig(self.cfg, self.exp_dir)
@@ -181,6 +322,7 @@ class Experiment:
         train_step = make_train_step(
             self.model, self.tx, mesh=mesh, donate=True,
             steps_per_call=steps_per_dispatch,
+            schedule_sampler=self.schedule_sampler,
         )
         eval_step = make_eval_step(self.model)
 
@@ -200,7 +342,21 @@ class Experiment:
             n_host_batches = max(
                 1, self.n_batches_train // (n_dev * steps_per_dispatch)
             )
-            if mesh is not None:
+            if self.loop_args.get("whole_dataset_batch"):
+                # collate once, replay on-device every iteration
+                # (training_loop.py:127,715-739 _WholeDatasetLoader)
+                if mesh is not None:
+                    raise NotImplementedError(
+                        "whole_dataset_batch is a single-device debug/overfit "
+                        "mode (one batch replayed); run with --no-mesh"
+                    )
+                from .data.source import WholeDatasetLoader
+
+                loader = WholeDatasetLoader(
+                    self.data.train, self.batch_size,
+                    n_host_batches * steps_per_dispatch, self.seed,
+                )
+            elif mesh is not None:
                 loader = device_batched_loader(
                     self.data.train, self.batch_size,
                     n_host_batches * steps_per_dispatch, self.seed + epoch, n_dev,
@@ -222,6 +378,14 @@ class Experiment:
                     if len(group) == steps_per_dispatch:
                         yield jax.tree.map(lambda *xs: jnp.stack(xs), *group)
                         group = []
+                if group:
+                    # the scan needs exactly K batches; Experiment sizes the
+                    # loader to a multiple of K so this never fires here, but
+                    # surface it loudly for any caller with uneven counts
+                    logger.warning(
+                        f"dropping trailing partial dispatch group of "
+                        f"{len(group)} < {steps_per_dispatch} batches"
+                    )
 
             for it, batch in enumerate(AsyncLoader(_group_steps(loader))):
                 if mesh is not None:
@@ -240,15 +404,8 @@ class Experiment:
                 and epoch % val_interval == 0
                 and not self.cfg.get("disable_validation", False)
             ):
-                for batch in epoch_loader(
-                    self.data.val, self.batch_size, self.n_batches_val,
-                    self.seed + epoch,
-                ):
-                    rng, step_rng = jax.random.split(rng)
-                    out = eval_step(state, batch, step_rng)
-                    stats.update(
-                        {k: v for k, v in out.items() if jnp.ndim(v) == 0}, "val"
-                    )
+                rng, val_rng = jax.random.split(rng)
+                out = self._val_epoch(state, stats, val_rng, eval_step, epoch)
                 logger.info(stats.status_line("val"))
                 # per-interval image dumps (visdom replacement,
                 # training_loop.py:501-516)

@@ -754,3 +754,26 @@ def create_named_schedule_sampler(name: str, sched: DiffusionSchedule):
             state0,
         )
     raise NotImplementedError(f"unknown schedule sampler: {name}")
+
+
+_SCHEDULE_CONFIG_KEYS = (
+    "schedule_name",
+    "num_steps",
+    "beta_start_unscaled",
+    "beta_end_unscaled",
+    "model_mean_type",
+    "model_var_type",
+)
+
+
+def make_named_schedule_from_config(diffusion_args) -> "DiffusionSchedule":
+    """Build a DiffusionSchedule from the model's `diffusion_args` dict,
+    ignoring non-schedule keys (e.g. `schedule_sampler_type`,
+    diffusion_utils.py:97)."""
+    return make_named_schedule(
+        **{
+            k: v
+            for k, v in (diffusion_args or {}).items()
+            if k in _SCHEDULE_CONFIG_KEYS
+        }
+    )

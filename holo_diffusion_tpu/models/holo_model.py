@@ -158,16 +158,7 @@ class HoloDiffusionModel(nn.Module):
             name="implicit_function",
         )
         if self.diffusion_enabled:
-            self.schedule = gd.make_named_schedule(
-                **{
-                    k: v
-                    for k, v in (self.diffusion_args or {}).items()
-                    if k in (
-                        "schedule_name", "num_steps", "beta_start_unscaled",
-                        "beta_end_unscaled", "model_mean_type", "model_var_type",
-                    )
-                }
-            )
+            self.schedule = gd.make_named_schedule_from_config(self.diffusion_args)
 
     # ------------------------------------------------------------------
     # pipeline pieces (each usable standalone via apply(method=...))
@@ -197,11 +188,19 @@ class HoloDiffusionModel(nn.Module):
         return v.reshape(self.resol, self.resol, self.resol, self.feature_size)
 
     def denoise(
-        self, voxel_features: jnp.ndarray, training: bool, rng: Optional[jax.Array]
+        self,
+        voxel_features: jnp.ndarray,
+        training: bool,
+        rng: Optional[jax.Array],
+        timesteps: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """The diffusion mechanism (holo_diffusion_model.py:385-426).
 
         voxel_features: (1, r, r, r, C) in [-1, 1].
+        timesteps: optional (2,) int32 — externally sampled (t, t_bootstrap),
+        e.g. from the loss-second-moment sampler whose state lives in the
+        TrainState (parallel/train_step.py). None -> uniform sampling here
+        (reference default, holo_diffusion_model.py:387).
         """
         aux: Dict[str, jnp.ndarray] = {}
         if not self.net_3d_enabled:
@@ -211,7 +210,10 @@ class HoloDiffusionModel(nn.Module):
 
         if self.diffusion_enabled and training:
             rng_t, rng_n, rng_t2, rng_n2, rng_b = jax.random.split(rng, 5)
-            t, _ = gd.uniform_sample_timesteps(self.schedule, 1, rng_t)
+            if timesteps is None:
+                t, _ = gd.uniform_sample_timesteps(self.schedule, 1, rng_t)
+            else:
+                t = timesteps[:1]
             noise = jax.random.normal(rng_n, voxel_features.shape)
             x_t = gd.q_sample(self.schedule, voxel_features, t, noise)
             aux["x_t"] = x_t
@@ -224,7 +226,10 @@ class HoloDiffusionModel(nn.Module):
                 # Bootstrapped second pass (holo_diffusion_model.py:401-418):
                 # computed unconditionally, selected by a bernoulli draw so the
                 # whole step stays one compiled program.
-                t2, _ = gd.uniform_sample_timesteps(self.schedule, 1, rng_t2)
+                if timesteps is None:
+                    t2, _ = gd.uniform_sample_timesteps(self.schedule, 1, rng_t2)
+                else:
+                    t2 = timesteps[1:]
                 noise2 = jax.random.normal(rng_n2, v.shape)
                 x_t2 = gd.q_sample(self.schedule, v, t2, noise2)
                 v2 = gd.p_mean_variance(
@@ -241,6 +246,33 @@ class HoloDiffusionModel(nn.Module):
         t0 = jnp.zeros((voxel_features.shape[0],), jnp.int32)
         v = jnp.tanh(model_fn(voxel_features, t0))
         return v, aux
+
+    def encode_eval(
+        self,
+        camera: PerspectiveCameras,
+        image_rgb: jnp.ndarray,
+        fg_probability: Optional[jnp.ndarray] = None,
+        mask_crop: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Preprocess + pool + EVALUATION denoise -> (r, r, r, C) voxel grid.
+
+        The encode half of the EVALUATION forward (holo_diffusion_model.py:
+        327-374 + 420-426), exposed so chunked/flyaround rendering can reuse
+        one grid across many target cameras without re-pooling.
+        `image_rgb`: (S, H, W, 3) SOURCE views only.
+        """
+        image_rgb, fg_probability, _ = preprocess_input(
+            image_rgb,
+            fg_probability,
+            None,
+            self.mask_images,
+            self.mask_depths,
+            self.mask_threshold,
+            self.bg_color,
+        )
+        grid = self.pool_features(image_rgb, camera, fg_probability, mask_crop)
+        v, _ = self.denoise(grid[None], training=False, rng=None)
+        return v[0]
 
     def render_rays(
         self,
@@ -351,6 +383,7 @@ class HoloDiffusionModel(nn.Module):
         training: bool = False,
         rng: Optional[jax.Array] = None,
         voxel_features: Optional[jnp.ndarray] = None,
+        timesteps: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         """The central pipeline (holo_diffusion_model.py:201-540).
 
@@ -416,7 +449,7 @@ class HoloDiffusionModel(nn.Module):
 
         # ---- diffusion mechanism
         voxel_features, diffusion_aux = self.denoise(
-            voxel_features, training, rng_denoise
+            voxel_features, training, rng_denoise, timesteps
         )
         preds.update({f"diffusion_{k}": v for k, v in diffusion_aux.items()})
         preds["voxel_features"] = voxel_features

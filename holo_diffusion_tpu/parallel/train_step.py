@@ -4,9 +4,10 @@ psum(grad) -> optimizer, as ONE compiled program over the device mesh.
 Replaces the reference's python training iteration (training_loop.py:446-556:
 loader -> forward -> accelerator.backward (NCCL all-reduce) -> clip ->
 optimizer.step). Data parallelism via `shard_map` over the `data` axis; each
-device holds one scene's frame batch (holo_diffusion_model.py:326). The
-loss-aware timestep sampler state is synchronized with an in-program
-all_gather, replacing the reference's dist.all_gather
+device holds one scene's frame batch (holo_diffusion_model.py:326). With
+`schedule_sampler="loss-second-moment"` the sampler state rides in the
+TrainState and is synchronized with an in-program all_gather
+(parallel/collectives.py), replacing the reference's dist.all_gather
 (timestep_sampler.py:89-110).
 """
 from __future__ import annotations
@@ -21,6 +22,7 @@ from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..data.frame_data import FrameData
+from ..models import diffusion as gd
 from ..models.holo_model import HoloDiffusionModel
 
 
@@ -31,9 +33,13 @@ class TrainState:
     opt_state: Any
     # mutable model state (batch norm stats of the feature extractor)
     model_state: Any = struct.field(default_factory=dict)
+    # loss-second-moment timestep-sampler state (None for uniform sampling);
+    # replicated, updated identically on every device (timestep_sampler.py:112-127)
+    sampler_state: Any = None
 
     @classmethod
-    def create(cls, variables, tx: optax.GradientTransformation):
+    def create(cls, variables, tx: optax.GradientTransformation,
+               sampler_state: Any = None):
         params = variables["params"]
         model_state = {k: v for k, v in variables.items() if k != "params"}
         return cls(
@@ -41,6 +47,7 @@ class TrainState:
             params=params,
             opt_state=tx.init(params),
             model_state=model_state,
+            sampler_state=sampler_state,
         )
 
     def variables(self):
@@ -75,6 +82,7 @@ def make_train_step(
     axis_name: str = "data",
     donate: bool = True,
     steps_per_call: int = 1,
+    schedule_sampler: str = "uniform",
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -86,9 +94,33 @@ def make_train_step(
     ((K, B, ...) or (K, n_dev, B, ...)) and K optimizer steps run as ONE
     lax.scan inside a single dispatch — amortizes host->device dispatch
     latency (measured ~30 ms on the tunnel); metrics are averaged over K.
+
+    schedule_sampler: "uniform" (default; model samples t internally) or
+    "loss-second-moment" (timestep_sampler.py:130-160): t for both diffusion
+    passes is drawn from the sqrt-second-moment weights held in
+    `state.sampler_state`, and the state is updated every step from the
+    all-gathered (t, loss) pairs so it stays identical on every device.
+    NOTE the reference *selects* this sampler via config
+    (diffusion_utils.py:97,113) but its photometric path never feeds it
+    (holo_diffusion_model.py:387 discards the weights and never calls
+    update_with_local_losses), so there it degenerates to uniform; here the
+    photometric objective is fed back as the per-timestep loss signal.
     """
+    loss_aware = schedule_sampler == "loss-second-moment"
+    if loss_aware:
+        sched = gd.make_named_schedule_from_config(model.diffusion_args)
+
+    def _sample_ts(state: TrainState, rng_t: jax.Array):
+        """(2,) timesteps for the (main, bootstrap) diffusion passes."""
+        ts, _ = gd.loss_aware_sample_timesteps(sched, state.sampler_state, 2, rng_t)
+        return ts
 
     def device_step(state: TrainState, batch: FrameData, rng: jax.Array):
+        timesteps = None
+        if loss_aware:
+            rng, rng_t = jax.random.split(rng)
+            timesteps = _sample_ts(state, rng_t)
+
         def loss_fn(params):
             preds, new_model_state = model.apply(
                 {"params": params, **state.model_state},
@@ -99,6 +131,7 @@ def make_train_step(
                 depth_map=batch.depth_map,
                 training=True,
                 rng=rng,
+                timesteps=timesteps,
                 mutable=list(state.model_state.keys()),
             )
             return preds["objective"], (_scalar_metrics(preds), new_model_state)
@@ -106,7 +139,7 @@ def make_train_step(
         (loss, (metrics, new_model_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        return grads, metrics, new_model_state
+        return grads, metrics, new_model_state, timesteps, loss
 
     def _scan_steps(one_step, state, batch, rng):
         """Run K chained optimizer steps over a leading step axis."""
@@ -119,15 +152,23 @@ def make_train_step(
     if mesh is None:
 
         def one_step(state: TrainState, batch: FrameData, rng: jax.Array):
-            grads, metrics, new_model_state = device_step(state, batch, rng)
+            grads, metrics, new_model_state, ts, loss = device_step(
+                state, batch, rng
+            )
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            new_sampler = state.sampler_state
+            if loss_aware:
+                new_sampler = gd.loss_aware_update(
+                    state.sampler_state, ts, jnp.broadcast_to(loss, ts.shape)
+                )
             return (
                 state.replace(
                     step=state.step + 1,
                     params=new_params,
                     opt_state=new_opt,
                     model_state=new_model_state,
+                    sampler_state=new_sampler,
                 ),
                 metrics,
             )
@@ -145,6 +186,10 @@ def make_train_step(
         # decorrelate per-device randomness
         idx = jax.lax.axis_index(axis_name)
         rng = jax.random.fold_in(rng, idx)
+        timesteps = None
+        if loss_aware:
+            rng, rng_t = jax.random.split(rng)
+            timesteps = _sample_ts(state, rng_t)
 
         def loss_fn(params):
             preds, new_model_state = model.apply(
@@ -156,6 +201,7 @@ def make_train_step(
                 depth_map=local.depth_map,
                 training=True,
                 rng=rng,
+                timesteps=timesteps,
                 mutable=list(state.model_state.keys()),
             )
             # pmean the objective BEFORE grad: the cotangent of replicated
@@ -168,6 +214,15 @@ def make_train_step(
         (_, (metrics, new_model_state)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
+        new_sampler = state.sampler_state
+        if loss_aware:
+            # each device pairs ITS timesteps with ITS local objective; the
+            # gathered update is identical on all replicas (collectives.py)
+            from .collectives import gathered_loss_aware_update
+
+            new_sampler = gathered_loss_aware_update(
+                state.sampler_state, timesteps, metrics["objective"], axis_name
+            )
         metrics = jax.lax.pmean(metrics, axis_name)
         new_model_state = jax.lax.pmean(new_model_state, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -178,6 +233,7 @@ def make_train_step(
                 params=new_params,
                 opt_state=new_opt,
                 model_state=new_model_state,
+                sampler_state=new_sampler,
             ),
             metrics,
         )

@@ -18,10 +18,11 @@ from .geometry.rays import RayBundle, sample_rays_full_grid
 from .models.holo_model import HoloDiffusionModel
 
 
-def make_chunk_renderer(model: HoloDiffusionModel, variables):
-    """Returns a jitted fn(voxel_grid, ray_bundle_chunk) -> RendererOutput.
-    Variables are threaded as a jit argument (closures would embed the param
-    tree as program constants)."""
+def make_chunk_render_fn(model: HoloDiffusionModel):
+    """Jitted fn(variables, voxel_grid, ray_bundle_chunk) -> RendererOutput.
+    Create ONCE and reuse across batches/epochs — each call to this factory
+    compiles a fresh program. Variables are threaded as a jit argument
+    (closures would embed the param tree as program constants)."""
 
     @jax.jit
     def chunk_render(variables, voxel_grid, bundle: RayBundle):
@@ -34,7 +35,13 @@ def make_chunk_renderer(model: HoloDiffusionModel, variables):
             method=HoloDiffusionModel.render_rays,
         )
 
-    return lambda voxel_grid, bundle: chunk_render(variables, voxel_grid, bundle)
+    return chunk_render
+
+
+def make_chunk_renderer(model: HoloDiffusionModel, variables):
+    """make_chunk_render_fn with `variables` bound."""
+    fn = make_chunk_render_fn(model)
+    return lambda voxel_grid, bundle: fn(variables, voxel_grid, bundle)
 
 
 def render_image_chunked(

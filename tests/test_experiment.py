@@ -199,3 +199,74 @@ def test_experiment_steps_per_dispatch(tmp_path):
     state, stats = exp.run(max_epochs=1, use_mesh=True)
     assert int(jax.device_get(state.step)) >= 2
     assert np.isfinite(stats.history[0]["train"]["objective"])
+
+
+@pytest.mark.slow
+def test_experiment_eval_only(tmp_path):
+    """eval_only: true restores the checkpoint and runs the evaluator
+    (reference training_loop.py:177-193)."""
+    cfg = _tiny_synthetic_cfg(tmp_path)
+    apply_dotted_overrides(cfg, [f"exp_dir={tmp_path}/eo"])
+    exp = Experiment(cfg)
+    exp.run(max_epochs=1, use_mesh=False)
+
+    apply_dotted_overrides(
+        cfg, ["training_loop_ImplicitronTrainingLoop_args.eval_only=true"]
+    )
+    exp2 = Experiment(cfg)
+    res = exp2.run(use_mesh=False)
+    assert "overall" in res and res["n_evals"] > 0
+    assert np.isfinite(res["overall"]["psnr"])
+    dumped = [f for f in os.listdir(exp2.exp_dir) if f.startswith("eval_results")]
+    assert dumped, os.listdir(exp2.exp_dir)
+
+
+@pytest.mark.slow
+def test_experiment_chunked_validation(tmp_path):
+    """chunk_size_grid > 0 routes the val epoch through the chunked renderer
+    (reference GenericModel chunked eval, hydrant.yaml:112)."""
+    cfg = _tiny_synthetic_cfg(tmp_path)
+    apply_dotted_overrides(
+        cfg,
+        [
+            f"exp_dir={tmp_path}/chunked",
+            # 16x16 render, 8 pts/ray -> 2048 pts; chunk of 256 -> 8 chunks
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.chunk_size_grid=256",
+            "disable_validation=false",
+        ],
+    )
+    exp = Experiment(cfg)
+    assert exp.model.chunk_size_grid == 256
+    state, stats = exp.run(max_epochs=1, use_mesh=False)
+    val = stats.history[0]["val"]
+    assert np.isfinite(val["loss_rgb_mse"])
+    assert np.isfinite(val["loss_rgb_psnr"])
+
+
+@pytest.mark.slow
+def test_experiment_loss_aware_sampler(tmp_path):
+    """schedule_sampler_type: loss-second-moment threads a LossSecondMomentState
+    through the TrainState and updates it every step (timestep_sampler.py:89-160)."""
+    cfg = _tiny_synthetic_cfg(tmp_path)
+    apply_dotted_overrides(
+        cfg,
+        [
+            f"exp_dir={tmp_path}/lsm",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.diffusion_args."
+            "schedule_sampler_type=loss-second-moment",
+        ],
+    )
+    exp = Experiment(cfg)
+    assert exp.schedule_sampler == "loss-second-moment"
+    state, stats = exp.run(max_epochs=1, use_mesh=True)
+    counts = np.asarray(jax.device_get(state.sampler_state.loss_counts))
+    n_steps = int(jax.device_get(state.step))
+    n_dev = jax.device_count()
+    # 2 timesteps per device-step (main + bootstrap), gathered over all devices
+    assert counts.sum() == 2 * n_steps * n_dev
+    # the replicated state must be identical on every device
+    hist = state.sampler_state.loss_history
+    sums = {float(np.asarray(s.data).sum()) for s in hist.addressable_shards}
+    assert len(sums) == 1
