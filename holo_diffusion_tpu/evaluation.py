@@ -27,15 +27,47 @@ from .render_eval import make_chunk_renderer, render_image_chunked
 logger = logging.getLogger(__name__)
 
 
-def ssim(a: np.ndarray, b: np.ndarray, C1=0.01**2, C2=0.03**2) -> float:
-    """Global-statistics SSIM over (H, W, C) images in [0, 1]."""
-    mu_a, mu_b = a.mean(), b.mean()
-    va, vb = a.var(), b.var()
-    cov = ((a - mu_a) * (b - mu_b)).mean()
-    return float(
-        ((2 * mu_a * mu_b + C1) * (2 * cov + C2))
-        / ((mu_a**2 + mu_b**2 + C1) * (va + vb + C2))
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = np.exp(-((np.arange(size) - size // 2) ** 2) / (2.0 * sigma**2))
+    return (g / g.sum()).astype(np.float64)
+
+
+def _filter2d_valid(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable 'valid' 2-D gaussian filtering of (H, W, C)."""
+    size = len(k)
+    H, W, C = img.shape
+    # horizontal
+    out = np.zeros((H, W - size + 1, C), np.float64)
+    for i in range(size):
+        out += k[i] * img[:, i:i + W - size + 1]
+    # vertical
+    out2 = np.zeros((H - size + 1, out.shape[1], C), np.float64)
+    for i in range(size):
+        out2 += k[i] * out[i:i + H - size + 1]
+    return out2
+
+
+def ssim(
+    a: np.ndarray, b: np.ndarray, C1=0.01**2, C2=0.03**2,
+    win_size: int = 11, sigma: float = 1.5,
+) -> float:
+    """Standard windowed SSIM (Wang et al. 2004): 11x11 gaussian window
+    (sigma 1.5), 'valid' padding, averaged over pixels and channels — the
+    same protocol as skimage/pytorch-msssim so numbers are directly
+    comparable across papers. Images (H, W, C) in [0, 1]."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    k = _gaussian_kernel(win_size, sigma)
+    mu_a = _filter2d_valid(a, k)
+    mu_b = _filter2d_valid(b, k)
+    mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
+    sigma_a = _filter2d_valid(a * a, k) - mu_aa
+    sigma_b = _filter2d_valid(b * b, k) - mu_bb
+    sigma_ab = _filter2d_valid(a * b, k) - mu_ab
+    s = ((2 * mu_ab + C1) * (2 * sigma_ab + C2)) / (
+        (mu_aa + mu_bb + C1) * (sigma_a + sigma_b + C2)
     )
+    return float(s.mean())
 
 
 def camera_difficulty(scene: FrameData, target_idx: int) -> float:

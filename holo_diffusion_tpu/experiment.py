@@ -275,10 +275,19 @@ class Experiment:
                 logger.warning("eval_only: no checkpoint found; evaluating "
                                "the freshly initialized model")
         scenes = (self.data.val.scenes or self.data.train.scenes)
+        perceptual_fn = None
+        lpips_vgg = self.cfg.get("lpips_vgg_weights_path")
+        if lpips_vgg:
+            from .models.lpips import load_lpips_from_torch_files
+
+            perceptual_fn = load_lpips_from_torch_files(
+                lpips_vgg, self.cfg.get("lpips_lin_weights_path")
+            )
         res = evaluate_new_view_synthesis(
             self.model,
             jax.device_get(state.variables()),
             scenes,
+            perceptual_fn=perceptual_fn,
             dump_path=os.path.join(
                 self.exp_dir, f"eval_results_epoch_{max(epoch, 0):08d}.json"
             ),

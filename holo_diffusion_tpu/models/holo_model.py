@@ -112,7 +112,8 @@ class HoloDiffusionModel(nn.Module):
     # ---- implicit function
     render_normals: bool = False
     render_mlp_args: Optional[dict] = None
-    sampler: str = "packed"  # voxel sampling strategy (see models/implicit.py)
+    sampler: str = "auto"  # voxel sampling strategy (see models/implicit.py)
+    sampler_precision: str = "default"  # fused-sampler MXU precision
 
     loss_weights: Optional[Dict[str, float]] = None
     dtype: Any = jnp.float32
@@ -155,6 +156,7 @@ class HoloDiffusionModel(nn.Module):
             render_normals=self.render_normals,
             render_mlp_args=self.render_mlp_args,
             sampler=self.sampler,
+            sampler_precision=self.sampler_precision,
             name="implicit_function",
         )
         if self.diffusion_enabled:

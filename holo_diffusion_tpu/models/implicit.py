@@ -36,10 +36,23 @@ class VoxelGridImplicitFunction(nn.Module):
     feature_dim: int = 0  # forced to 0 by the model (holo_diffusion_model.py:157)
     render_normals: bool = False
     render_mlp_args: dict = None
-    # voxel sampling strategy: "packed" (corner-packed single gather — the
-    # fastest on TPU, see ops/voxel.py::pack_corner_grid), "gather" (plain
-    # XLA 8-gather), "pallas"/"onehot_xla" (one-hot MXU variants)
-    sampler: str = "packed"
+    # voxel sampling strategy:
+    #   "auto"   — fused kron kernel on TPU when the grid is small enough
+    #              (the release scale 16^3 x 64 qualifies; the reference
+    #              overrides resol/n_hidden with the model's 16/64,
+    #              holo_diffusion_model.py:152-155), packed gather otherwise;
+    #   "fused"  — Kronecker-factored MXU kernel, custom VJP with the grid
+    #              cotangent accumulated in VMEM (ops/pallas/kron_sample.py);
+    #   "packed" — corner-packed single gather (ops/voxel.py::pack_corner_grid);
+    #   "gather" — plain XLA 8-gather;
+    #   "pallas"/"onehot_xla" — one-hot MXU variants (benchmark baselines).
+    sampler: str = "auto"
+    # MXU precision of the fused sampler's matmuls: "default" = one bf16 pass
+    # (~4e-3 relative error on sampled features — the features are tanh-
+    # bounded to [-1,1], so absolute error ~4e-3; measured 2.5x faster
+    # fwd+bwd than the packed gather on v5e) or "highest" = 3-pass f32
+    # (~1e-6, parity with the gather samplers, ~gather speed).
+    sampler_precision: str = "default"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -53,7 +66,23 @@ class VoxelGridImplicitFunction(nn.Module):
         self.render_mlp = RenderMLP(**args)
 
     def _sample(self, voxel_grid, points):
-        if self.sampler == "packed":
+        sampler = self.sampler
+        if sampler == "auto":
+            from ..ops.pallas.kron_sample import DEFAULT_MAX_GC
+
+            D, H, W, C = voxel_grid.shape
+            on_tpu = jax.default_backend() == "tpu"
+            sampler = "fused" if (on_tpu and D * H * W * C <= DEFAULT_MAX_GC) \
+                else "packed"
+        if sampler == "fused":
+            from ..ops.pallas.kron_sample import trilinear_sample_fused
+
+            return trilinear_sample_fused(
+                voxel_grid, points, self.volume_extent,
+                interpret=jax.default_backend() != "tpu",
+                precision=self.sampler_precision,
+            )
+        if sampler == "packed":
             from ..ops.voxel import (
                 pack_corner_grid,
                 sample_packed_voxel_grid_world,
@@ -64,13 +93,13 @@ class VoxelGridImplicitFunction(nn.Module):
             return sample_packed_voxel_grid_world(
                 packed, points, self.volume_extent
             )
-        if self.sampler == "pallas":
+        if sampler == "pallas":
             from ..ops.pallas.fused_render import trilinear_sample_pallas
 
             return trilinear_sample_pallas(
                 voxel_grid, points, self.volume_extent
             )
-        if self.sampler == "onehot_xla":
+        if sampler == "onehot_xla":
             from ..ops.pallas.fused_render import trilinear_sample_onehot_xla
 
             return trilinear_sample_onehot_xla(

@@ -85,11 +85,13 @@ def _hx_lanes(ix, W, C, block_n):
     return jnp.maximum(0.0, 1.0 - jnp.abs(ix[:, None] - xq))
 
 
-def _fwd_kernel(points_ref, grid_ref, out_ref, *, D, H, W, C, extent, block_n):
+def _fwd_kernel(points_ref, grid_ref, out_ref, *, D, H, W, C, extent,
+                block_n, precision):
     pts = points_ref[:, :3]
     ix, iy, iz = _indices(pts, D, H, W, extent)
     wzy = _wzy(iz, iy, D, H, block_n)
-    B = jnp.dot(wzy, grid_ref[:], preferred_element_type=jnp.float32)
+    B = jnp.dot(wzy, grid_ref[:], preferred_element_type=jnp.float32,
+                precision=precision)
     xpos = jax.lax.broadcasted_iota(jnp.int32, (block_n, W), 1).astype(
         jnp.float32
     )
@@ -101,7 +103,7 @@ def _fwd_kernel(points_ref, grid_ref, out_ref, *, D, H, W, C, extent, block_n):
 
 
 def _dgrid_kernel(
-    points_ref, g_ref, dgrid_ref, *, D, H, W, C, extent, block_n
+    points_ref, g_ref, dgrid_ref, *, D, H, W, C, extent, block_n, precision
 ):
     """Accumulates d_grid_mat (D*H, W*C) in VMEM over all point blocks."""
 
@@ -116,19 +118,22 @@ def _dgrid_kernel(
     g_tiled = jnp.concatenate([g_ref[:]] * W, axis=1)  # (block_n, W*C)
     F = hxl * g_tiled
     dgrid_ref[:] += jax.lax.dot_general(
-        wzy, F, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        wzy, F, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
 
 def _dpoints_kernel(
-    points_ref, g_ref, grid_ref, dpts_ref, *, D, H, W, C, extent, block_n
+    points_ref, g_ref, grid_ref, dpts_ref, *, D, H, W, C, extent, block_n,
+    precision
 ):
     """d(out)/d(points) — exercised only by the autodiff-normals path."""
     pts = points_ref[:, :3]
     ix, iy, iz = _indices(pts, D, H, W, extent)
     wzy = _wzy(iz, iy, D, H, block_n)
     grid_mat = grid_ref[:]
-    B = jnp.dot(wzy, grid_mat, preferred_element_type=jnp.float32)
+    B = jnp.dot(wzy, grid_mat, preferred_element_type=jnp.float32,
+                precision=precision)
 
     # lane helpers over (block_n, W*C)
     l = jax.lax.broadcasted_iota(jnp.int32, (block_n, W * C), 1)
@@ -144,7 +149,8 @@ def _dpoints_kernel(
     F = hxl * g_tiled
     # E2[n, q] = sum_{xc} F[n, xc] grid_mat[q, xc]
     E2 = jax.lax.dot_general(
-        F, grid_mat, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        F, grid_mat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
     )
     q = jax.lax.broadcasted_iota(jnp.int32, (block_n, D * H), 1)
     zq = (q // H).astype(jnp.float32)
@@ -179,13 +185,14 @@ def _kron_sample(cfg, grid, points_flat):
 
 
 def _kron_fwd_impl(cfg, grid, points_flat):
-    extent, block_n, interpret = cfg
+    extent, block_n, interpret, precision = cfg
     D, H, W, C = grid.shape
     pts, n, n_pad = _pad_points(points_flat, block_n)
     grid_mat = grid.reshape(D * H, W * C)
     out = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, D=D, H=H, W=W, C=C, extent=extent, block_n=block_n
+            _fwd_kernel, D=D, H=H, W=W, C=C, extent=extent, block_n=block_n,
+            precision=precision,
         ),
         grid=((n + n_pad) // block_n,),
         in_specs=[
@@ -207,7 +214,7 @@ def _kron_fwd(cfg, grid, points_flat):
 
 
 def _kron_bwd(cfg, residuals, g):
-    extent, block_n, interpret = cfg
+    extent, block_n, interpret, precision = cfg
     grid, points_flat = residuals
     D, H, W, C = grid.shape
     pts, n, n_pad = _pad_points(points_flat, block_n)
@@ -216,7 +223,8 @@ def _kron_bwd(cfg, residuals, g):
 
     dgrid_mat = pl.pallas_call(
         functools.partial(
-            _dgrid_kernel, D=D, H=H, W=W, C=C, extent=extent, block_n=block_n
+            _dgrid_kernel, D=D, H=H, W=W, C=C, extent=extent,
+            block_n=block_n, precision=precision,
         ),
         grid=(n_blocks,),
         in_specs=[
@@ -236,7 +244,8 @@ def _kron_bwd(cfg, residuals, g):
     # unused (every ordinary train step — ray points have no trainable deps)
     dpts = pl.pallas_call(
         functools.partial(
-            _dpoints_kernel, D=D, H=H, W=W, C=C, extent=extent, block_n=block_n
+            _dpoints_kernel, D=D, H=H, W=W, C=C, extent=extent,
+            block_n=block_n, precision=precision,
         ),
         grid=(n_blocks,),
         in_specs=[
@@ -265,6 +274,7 @@ def trilinear_sample_fused(
     extent: float,
     block_n: int = 256,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Trilinear world-space sampling via the Kronecker-factored MXU kernel.
 
@@ -272,11 +282,15 @@ def trilinear_sample_fused(
     zeros outside the grid (grid_sample zero padding, align_corners=True) —
     exactly `ops.voxel.sample_voxel_grid_world` semantics, differentiable in
     both grid (VMEM-accumulated, no scatter) and points.
+
+    precision: MXU precision for the kron matmuls — "highest" (3-pass f32,
+    matches the f32 VPU gather samplers to ~1e-6) or "default" (one bf16
+    pass, ~4e-3 relative error on the sampled features, ~2x kernel speed).
     """
     shape = points.shape[:-1]
     flat = points.reshape(-1, 3).astype(jnp.float32)
     out = _kron_sample(
-        (float(extent), int(block_n), bool(interpret)),
+        (float(extent), int(block_n), bool(interpret), str(precision)),
         grid.astype(jnp.float32),
         flat,
     )
