@@ -84,12 +84,33 @@ def device_batched_loader(
     n_batches: int,
     seed: int,
     n_devices: int,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[FrameData]:
-    """Stacks `n_devices` independent same-sequence batches along a leading
-    device axis for the SPMD train step (one scene per device)."""
-    rng = np.random.RandomState(seed)
-    for _ in range(n_batches):
-        batches = [dataset.sample_batch(rng, batch_size) for _ in range(n_devices)]
+    """Stacks same-sequence batches along a leading device axis for the SPMD
+    train step (one scene per device).
+
+    Multi-host sharding: `n_devices` is the GLOBAL device count; each process
+    materializes ONLY its own devices' slice (disjoint contiguous blocks of
+    the device axis, matching jax's device order for a 1-axis mesh). The
+    per-(batch, device) RNG is derived deterministically from (seed, batch,
+    global device index), so every process agrees on the global batch without
+    building it — the reference instead gives every DDP rank its own seed
+    stream (experiment.py:167); here determinism is global by construction.
+    """
+    assert n_devices % process_count == 0, (n_devices, process_count)
+    local = n_devices // process_count
+    first = process_index * local
+    for b in range(n_batches):
+        batches = [
+            dataset.sample_batch(
+                np.random.RandomState(
+                    (seed * 1_000_003 + b * 7919 + (first + d)) % (2**31 - 1)
+                ),
+                batch_size,
+            )
+            for d in range(local)
+        ]
         yield jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
 

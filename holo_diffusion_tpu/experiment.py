@@ -32,10 +32,16 @@ from .parallel.mesh import replicate
 
 
 def _shard_stepped(batch, mesh, axis_name: str = "data"):
-    """Place (K, n_dev, ...) step-stacked batches: sharded on axis 1."""
+    """Place (K, n_dev, ...) step-stacked batches: sharded on axis 1.
+    Multi-process: each host passes its (K, n_local_dev, ...) slice."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = NamedSharding(mesh, P(None, axis_name))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 from .train import make_lr_schedule, make_optimizer
 from .train.checkpoint import restore_checkpoint, save_checkpoint
@@ -343,8 +349,11 @@ class Experiment:
         stats.epoch = start_epoch - 1
 
         for epoch in range(start_epoch, max_epochs):
-            # per-epoch reseed (training_loop.py:232-234)
-            seed_all_random_engines(self.seed + epoch)
+            # per-epoch reseed (training_loop.py:232-234) with the reference's
+            # per-rank offset (seed + 10000 * rank, experiment.py:167)
+            seed_all_random_engines(
+                self.seed + epoch + 10000 * jax.process_index()
+            )
             stats.new_epoch()
             rng = jax.random.PRNGKey(self.seed + epoch)
 
@@ -369,6 +378,8 @@ class Experiment:
                 loader = device_batched_loader(
                     self.data.train, self.batch_size,
                     n_host_batches * steps_per_dispatch, self.seed + epoch, n_dev,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count(),
                 )
             else:
                 loader = epoch_loader(

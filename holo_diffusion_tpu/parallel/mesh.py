@@ -25,8 +25,19 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Place a pytree with leading device axis (n_dev, ...) onto the mesh."""
+    """Place a pytree with leading device axis onto the mesh.
+
+    Single-process: leaves carry the GLOBAL (n_dev, ...) axis — plain
+    device_put. Multi-process: each host passes only its LOCAL slice
+    (n_local_dev, ...) (from `device_batched_loader(process_index=...)`) and
+    the global jax.Array is assembled from per-process shards — the TPU
+    analog of DDP's per-rank loaders (reference experiment.py:249-260)."""
     sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

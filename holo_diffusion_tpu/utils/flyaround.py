@@ -151,6 +151,7 @@ def render_flyaround(
     video_fps: int = 20,
     save_voxel_features: bool = False,
     seed: int = 0,
+    shaded_depth_method: str = "gradient",  # gradient | pointcloud | mesh
 ) -> Dict[str, str]:
     """The inference driver (flyaround.py:44-298).
 
@@ -259,7 +260,8 @@ def render_flyaround(
             )
         else:
             shaded = depth_to_shaded(
-                jnp.asarray(preds["depths_render"][0, ..., 0]), mask2d, cam
+                jnp.asarray(preds["depths_render"][0, ..., 0]), mask2d, cam,
+                method=shaded_depth_method,
             )
         add_frame("shaded_depth_render", shaded)
 

@@ -27,18 +27,63 @@ def depth_laplacian_outlier_mask(depth: jnp.ndarray, thr: float = 0.3) -> jnp.nd
     return mask.astype(jnp.float32)
 
 
+def _unproject_view_space(depth: jnp.ndarray, camera: PerspectiveCameras):
+    """Unproject a depth map with a TRIVIAL camera (R=I, T=0) — the
+    reference's view-space pointcloud grid (shaded_depth_render.py:166-183)."""
+    H, W = depth.shape
+    xys = pixel_grid_ndc(H, W)
+    xyd = jnp.concatenate([xys, jnp.maximum(depth, 1e-6)[..., None]], axis=-1)
+    trivial = PerspectiveCameras(
+        R=jnp.eye(3)[None],
+        T=jnp.zeros((1, 3)),
+        focal_length=camera.focal_length[:1],
+        principal_point=camera.principal_point[:1],
+    )
+    return unproject_ndc_points(trivial, xyd[None])[0]  # (H, W, 3) view space
+
+
 def depth_to_shaded(
     depth: jnp.ndarray,
     mask: jnp.ndarray,
     camera: PerspectiveCameras,
     ambient: float = 0.25,
     bg_value: float = 1.0,
+    method: str = "gradient",  # gradient | pointcloud | mesh
+    material: str = "medium",
+    knn_k: int = 20,
 ) -> jnp.ndarray:
     """(H, W) depth + (H, W) mask + 1-camera -> (H, W, 3) shaded render.
 
-    Unprojects the depth map, estimates normals via central differences of the
-    point map, and lambert-shades with a point light at the camera center.
+    Methods, mirroring the reference's depth_to_shaded dispatch
+    (shaded_depth_render.py:142-207):
+      * "gradient"   — normals via central differences of the unprojected
+                       point map (fast lambertian default; TPU-friendly);
+      * "pointcloud" — KNN-PCA normals, light at the camera => shade is the
+                       camera-facing normal z (ops/knn.py);
+      * "mesh"       — quad-mesh over the depth grid, Gouraud shading, soft
+                       rasterization with softmax blending (utils/mesh_render).
     """
+    if method == "pointcloud":
+        from ..ops.knn import pointcloud_shaded_grid
+
+        pcl = _unproject_view_space(depth, camera)
+        valid = (mask > 0.5) & (depth > 1e-2)
+        shaded = pointcloud_shaded_grid(pcl, valid, neighborhood_size=knn_k)
+        return jnp.where(valid[..., None], shaded, bg_value)
+    if method == "mesh":
+        from .mesh_render import mesh_render_shaded
+
+        pcl = _unproject_view_space(depth, camera)
+        valid = ((mask > 0.5) & (depth > 1e-2)).astype(jnp.float32)
+        valid = valid * depth_laplacian_outlier_mask(depth)
+        shaded, render_mask, _ = mesh_render_shaded(
+            pcl, valid,
+            focal_length=camera.focal_length[0],
+            principal_point=camera.principal_point[0],
+            material=material,
+        )
+        return jnp.where(render_mask > 0.5, shaded, bg_value)
+    assert method == "gradient", method
     H, W = depth.shape
     xys = pixel_grid_ndc(H, W)
     xyd = jnp.concatenate([xys, depth[..., None]], axis=-1)

@@ -223,3 +223,35 @@ def test_multi_step_scan_on_mesh(setup):
     new_state, metrics = step(state, batch, jax.random.PRNGKey(12))
     assert int(new_state.step) == 2
     assert jnp.isfinite(metrics["objective"])
+
+
+def test_multihost_loader_shards_are_disjoint_and_aligned():
+    """Per-process loader slices must (a) cover disjoint device blocks whose
+    concatenation equals the single-process global batch, and (b) differ in
+    content across hosts (disjoint per-host data; reference per-rank seeding,
+    experiment.py:167)."""
+    from holo_diffusion_tpu.data.source import SceneDataset, device_batched_loader
+    from holo_diffusion_tpu.data.synthetic import make_synthetic_scene
+
+    ds = SceneDataset(
+        [make_synthetic_scene(n_views=4, image_size=8, seed=i) for i in range(6)]
+    )
+    n_dev, batch_size, n_batches, seed = 4, 2, 3, 123
+
+    global_batches = list(
+        device_batched_loader(ds, batch_size, n_batches, seed, n_dev)
+    )
+    local0 = list(device_batched_loader(ds, batch_size, n_batches, seed, n_dev,
+                                        process_index=0, process_count=2))
+    local1 = list(device_batched_loader(ds, batch_size, n_batches, seed, n_dev,
+                                        process_index=1, process_count=2))
+    for g, l0, l1 in zip(global_batches, local0, local1):
+        assert l0.image_rgb.shape[0] == n_dev // 2
+        np.testing.assert_array_equal(
+            np.asarray(g.image_rgb[:2]), np.asarray(l0.image_rgb)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(g.image_rgb[2:]), np.asarray(l1.image_rgb)
+        )
+        # different hosts see different data
+        assert not np.allclose(np.asarray(l0.image_rgb), np.asarray(l1.image_rgb))
