@@ -51,9 +51,16 @@ def _run_phase(name, seconds):
         return None
 
 
-def _timeit(fn, *args, warmup=2, iters=10):
-    """Device->host fetch after the loop forces true completion (the tunnel's
-    block_until_ready can return before the device finishes)."""
+def _timeit(fn, *args, warmup=2, iters=10, repeats=5):
+    """Median-of-`repeats` timing (each repeat averages `iters` calls).
+
+    Device->host fetch after each block forces true completion (the tunnel's
+    block_until_ready can return before the device finishes). The median over
+    repeated blocks makes the number robust to tunnel-latency spikes — the
+    round-1 protocol (single block) showed ~25% run-to-run spread on the
+    denoise phase (668 vs 885 steps/s); spread is logged so outliers are
+    visible.
+    """
     import jax
     import numpy as np
 
@@ -64,11 +71,33 @@ def _timeit(fn, *args, warmup=2, iters=10):
     for _ in range(warmup):
         out = fn(*args)
     force(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    force(out)
-    return (time.perf_counter() - t0) / iters
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        force(out)
+        times.append((time.perf_counter() - t0) / iters)
+    med = float(np.median(times))
+    spread = (max(times) - min(times)) / med * 100.0
+    _log(f"[bench] median {med*1e3:.2f} ms over {repeats} blocks "
+         f"(spread {spread:.0f}%: {[round(t*1e3, 2) for t in times]})")
+    return med
+
+
+def _mfu(fn_jitted_lowered_compiled, seconds, peak_tflops=197.0):
+    """Model-FLOPs-utilization estimate from XLA's own cost analysis
+    (flops of the compiled program / wall time / bf16 peak; v5e ~197 TF)."""
+    try:
+        cost = fn_jitted_lowered_compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops <= 0:
+            return None
+        return flops / seconds / (peak_tflops * 1e12)
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def _probe_device():
@@ -131,6 +160,10 @@ def bench_denoise_step():
 
     _log("[bench] compiling K-step denoise scan ...")
     dt = _timeit(k_steps, params, x, jax.random.PRNGKey(1), warmup=2, iters=5)
+    mfu = _mfu(k_steps.lower(params, x, jax.random.PRNGKey(1)).compile(),
+               dt)
+    if mfu:
+        _log(f"[bench] denoise MFU ~{100 * mfu:.1f}% of bf16 peak")
     return K / dt
 
 
@@ -198,6 +231,10 @@ def bench_render_rays():
 
     _log("[bench] compiling render scan ...")
     dt = _timeit(render_k, params, grid, jax.random.PRNGKey(3), warmup=2, iters=5)
+    mfu = _mfu(render_k.lower(params, grid, jax.random.PRNGKey(3)).compile(), dt)
+    if mfu:
+        _log(f"[bench] render MFU ~{100 * mfu:.1f}% of bf16 peak "
+             "(gather-bound phase: low MFU expected)")
     return K * n_views * n_rays / dt
 
 
@@ -258,12 +295,21 @@ def bench_train_step():
     for _ in range(2):
         state, metrics = step(state, batch, rng)
     float(np.asarray(metrics["objective"]))
-    t0 = time.perf_counter()
-    iters = 6
-    for _ in range(iters):
-        state, metrics = step(state, batch, rng)
-    float(np.asarray(metrics["objective"]))
-    return iters * K / (time.perf_counter() - t0)
+    times = []
+    for _ in range(5):  # median-of-5 blocks
+        t0 = time.perf_counter()
+        iters = 6
+        for _ in range(iters):
+            state, metrics = step(state, batch, rng)
+        float(np.asarray(metrics["objective"]))
+        times.append(iters * K / (time.perf_counter() - t0))
+    times.sort()
+    _log(f"[bench] train steps/s blocks: {[round(t, 2) for t in times]}")
+    mfu = _mfu(step.lower(state, batch, rng).compile(),
+               K / times[len(times) // 2])
+    if mfu:
+        _log(f"[bench] train MFU ~{100 * mfu:.1f}% of bf16 peak")
+    return times[len(times) // 2]
 
 
 def main():

@@ -435,6 +435,22 @@ class Experiment:
                     visualize_preds(
                         out, os.path.join(self.exp_dir, "visuals"), "val", epoch
                     )
+                    # denoising-video stream (holo_diffusion_model.py:598-616)
+                    if self.cfg.get("visualize_denoising_video", False):
+                        from .utils.vis import denoising_video
+
+                        rng, dv_rng = jax.random.split(rng)
+                        denoising_video(
+                            self.model,
+                            jax.device_get(state.variables()),
+                            os.path.join(
+                                self.exp_dir, "visuals",
+                                f"denoising_{epoch:08d}.mp4",
+                            ),
+                            self.data.val.scenes[0].camera[:1]
+                            if self.data.val.scenes else None,
+                            dv_rng,
+                        )
 
             # periodic test eval (training_loop.py:273-279)
             if (
@@ -464,12 +480,13 @@ class Experiment:
                     purge=self.loop_args["store_checkpoints_purge"],
                 )
                 if jax.process_index() == 0:
-                    from .utils.vis import plot_stats_pdf
+                    from .utils.vis import plot_stats_pdf, write_dashboard_html
 
                     try:
                         plot_stats_pdf(
                             stats, os.path.join(self.exp_dir, "train_stats.pdf")
                         )
+                        write_dashboard_html(stats, self.exp_dir)
                     except Exception as e:  # noqa: BLE001
                         logger.warning(f"stats plot failed: {e}")
 

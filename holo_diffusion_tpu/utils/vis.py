@@ -116,3 +116,110 @@ def plot_stats_pdf(stats, path: str):
     fig.savefig(path)
     plt.close(fig)
     return path
+
+
+def denoising_video(
+    model,
+    variables,
+    out_path: str,
+    camera,
+    rng,
+    steps_per_frame: int = 50,
+    max_iter=None,
+    fps: int = 8,
+):
+    """Render the progressive DDPM denoising of one sampled grid from a fixed
+    camera into a video — the reference's denoising-video visdom stream
+    (holo_diffusion_model.py:598-616 via VideoWriter).
+
+    model/variables: a diffusion-enabled HoloDiffusionModel; camera: a 1-batch
+    PerspectiveCameras. Returns the written video path (or None).
+    """
+    from ..render_eval import make_chunk_render_fn, render_image_chunked
+    from ..sampling import sample_random_voxel_features_progressive
+    from .video import VideoWriter
+
+    chunk_fn = make_chunk_render_fn(model)
+    vw = VideoWriter(out_path, fps=fps)
+    gen = sample_random_voxel_features_progressive(
+        model, variables, rng, max_iter=max_iter
+    )
+    for i, grid in enumerate(gen):
+        if i % max(steps_per_frame, 1) != 0:
+            continue
+        out = render_image_chunked(
+            model, variables, camera, grid[0],
+            chunk_renderer=lambda g, b: chunk_fn(variables, g, b),
+        )
+        vw.write_frame(out["images_render"])
+    return vw.get_video()
+
+
+def write_dashboard_html(stats, exp_dir: str, visuals_dir: str = "visuals"):
+    """Self-contained live dashboard (the visdom replacement,
+    training_loop.py:501-516 + vis_utils): one HTML file with inline metric
+    charts (pure JS + SVG, no dependencies, auto-refreshes every 30 s) and
+    thumbnails of the latest visual dumps. Regenerated at every checkpoint;
+    open exp_dir/dashboard.html in any browser and leave it open.
+    """
+    import json as _json
+
+    history = stats.history
+    keys = sorted(
+        {k for h in history for s in ("train", "val") for k in h.get(s, {})}
+        - {"sec/it"}
+    )
+    vis_path = os.path.join(exp_dir, visuals_dir)
+    images = []
+    if os.path.isdir(vis_path):
+        images = sorted(os.listdir(vis_path))[-8:]
+    payload = _json.dumps(
+        {
+            "keys": keys,
+            "history": history,
+            "images": [f"{visuals_dir}/{f}" for f in images if f.endswith(".png")],
+        }
+    )
+    html = """<!doctype html><html><head><meta charset="utf-8">
+<meta http-equiv="refresh" content="30">
+<title>holo_diffusion_tpu dashboard</title>
+<style>body{font-family:monospace;background:#111;color:#ddd;margin:20px}
+.chart{display:inline-block;margin:8px;background:#1a1a1a;padding:8px;border-radius:6px}
+h3{margin:4px 0;font-size:13px} img{max-width:340px;margin:6px;border-radius:4px}
+svg polyline{fill:none;stroke-width:1.5} .train{stroke:#6cf} .val{stroke:#fc6}
+text{fill:#888;font-size:10px}</style></head><body>
+<h2>training dashboard</h2><div id="charts"></div><h2>latest visuals</h2>
+<div id="imgs"></div><script>
+const D = __PAYLOAD__;
+function poly(vals, xmax, ymin, ymax, cls){
+  const pts = vals.map(([x,y],i)=>{
+    const px = 20 + 280*(x/Math.max(xmax,1));
+    const py = 105 - 95*((y-ymin)/Math.max(ymax-ymin,1e-12));
+    return px+","+py;}).join(" ");
+  return `<polyline class="${cls}" points="${pts}"/>`;}
+const charts = document.getElementById("charts");
+for (const k of D.keys){
+  let tr=[], va=[];
+  for (const h of D.history){
+    if (h.train && k in h.train) tr.push([h.epoch, h.train[k]]);
+    if (h.val && k in h.val) va.push([h.epoch, h.val[k]]);}
+  if (!tr.length && !va.length) continue;
+  const ys = tr.concat(va).map(p=>p[1]);
+  const ymin = Math.min(...ys), ymax = Math.max(...ys);
+  const xmax = Math.max(...tr.concat(va).map(p=>p[0]));
+  const last = (tr.length?tr:va).slice(-1)[0][1];
+  charts.insertAdjacentHTML("beforeend",
+    `<div class="chart"><h3>${k} = ${last.toPrecision(5)}</h3>
+     <svg width="320" height="110">${poly(tr,xmax,ymin,ymax,"train")}
+     ${poly(va,xmax,ymin,ymax,"val")}
+     <text x="20" y="10">${ymax.toPrecision(3)}</text>
+     <text x="20" y="105">${ymin.toPrecision(3)}</text></svg></div>`);}
+const imgs = document.getElementById("imgs");
+for (const p of D.images)
+  imgs.insertAdjacentHTML("beforeend", `<a href="${p}"><img src="${p}"></a>`);
+</script></body></html>"""
+    html = html.replace("__PAYLOAD__", payload)
+    path = os.path.join(exp_dir, "dashboard.html")
+    with open(path, "w") as f:
+        f.write(html)
+    return path

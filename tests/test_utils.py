@@ -184,3 +184,50 @@ def test_timer_and_stats():
     assert avg["objective"] == 2.0
     st.finalize_epoch()
     assert st.history[0]["train"]["loss_rgb_mse"] == pytest.approx(0.6)
+
+
+def test_dashboard_html(tmp_path):
+    from holo_diffusion_tpu.train.stats import Stats
+    from holo_diffusion_tpu.utils.vis import write_dashboard_html
+
+    st = Stats()
+    for e in range(3):
+        st.new_epoch()
+        st.update({"objective": 1.0 / (e + 1), "loss_rgb_psnr": 10.0 + e}, "train")
+        st.update({"loss_rgb_psnr": 9.0 + e}, "val")
+        st.finalize_epoch()
+    path = write_dashboard_html(st, str(tmp_path))
+    html = open(path).read()
+    assert "loss_rgb_psnr" in html and "objective" in html
+    assert "polyline" in html  # charts rendered client-side from the payload
+
+
+def test_denoising_video(tmp_path):
+    import jax
+
+    from holo_diffusion_tpu.data import make_synthetic_scene
+    from holo_diffusion_tpu.models.holo_model import HoloDiffusionModel
+    from holo_diffusion_tpu.utils.vis import denoising_video
+
+    model = HoloDiffusionModel(
+        resol=4, feature_size=8, view_pooler_enabled=False,
+        n_pts_per_ray_evaluation=4, n_pts_per_ray_fine_evaluation=2,
+        render_image_height=8, render_image_width=8,
+        net_3d_args=dict(model_channels=32, num_res_blocks=1, channel_mult=(1,),
+                         attention_resolutions=(), use_remat=False),
+        diffusion_args=dict(num_steps=6, beta_start_unscaled=6e-7,
+                            beta_end_unscaled=1.2e-4),
+        render_mlp_args=dict(dnet_hidden_dim=8, rnet_hidden_dim=8),
+    )
+    scene = make_synthetic_scene(n_views=1, image_size=8, seed=0)
+    x = jax.numpy.zeros((1, 4, 4, 4, 8))
+    variables = model.init(
+        jax.random.PRNGKey(0), camera=scene.camera[:1], voxel_features=x,
+        training=False, rng=jax.random.PRNGKey(1),
+    )
+    path = denoising_video(
+        model, variables, str(tmp_path / "denoise.mp4"),
+        scene.camera[:1], jax.random.PRNGKey(1), steps_per_frame=2,
+    )
+    import os
+    assert path is not None and os.path.exists(path)
