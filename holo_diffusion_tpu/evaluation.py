@@ -71,9 +71,15 @@ def ssim(
 
 
 def camera_difficulty(scene: FrameData, target_idx: int) -> float:
-    """Difficulty of a held-out view: max cosine similarity between its camera
-    center direction and the remaining cameras' (Implicitron's difficulty
-    binning proxy; bins at 0.97/0.98, configs/base.yaml:188-190)."""
+    """Difficulty of a held-out view: max cosine similarity between its
+    scene-centered camera-center direction and the remaining cameras'.
+
+    This matches the SHAPE of Implicitron's protocol (values near 1 for
+    targets close to a source view; `camera_difficulty_bin_breaks` 0.97/0.98,
+    configs/base.yaml:188-190) but is an independent formulation — Implicitron
+    computes difficulty inside its evaluator from the eval-batch cameras
+    (pytorch3d is not available here to cite line-exactly). Bins are named
+    easy (>= brk[1]) / medium / hard like the CO3D protocol."""
     centers = np.asarray(camera_centers(scene.camera))
     d = centers / np.maximum(np.linalg.norm(centers, axis=-1, keepdims=True), 1e-8)
     cos = d @ d[target_idx]
