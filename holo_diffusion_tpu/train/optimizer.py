@@ -114,3 +114,34 @@ def make_optimizer(
         parts.append(base(lr_or_sched))
 
     return optax.chain(*parts) if len(parts) > 1 else parts[0]
+
+
+def with_discriminator_optimizer(
+    tx_main: optax.GradientTransformation,
+    tx_disc: optax.GradientTransformation,
+    path_substring: str = "discriminator",
+) -> optax.GradientTransformation:
+    """Two-optimizer surface for the reference's vestigial GAN support:
+    parameters whose path contains `path_substring` step under `tx_disc`,
+    everything else under `tx_main` — the functional equivalent of the
+    reference's separate discriminator optimizer stepped each iteration
+    (training_loop.py:563-569; param split trainer/utils.py:29-33; state
+    persisted like `_opt_disc.pth` inside the single TrainState opt_state).
+    No release config instantiates a discriminator; this keeps the surface.
+    """
+    import jax
+
+    def _mask(want_disc):
+        def fn(params):
+            def label(path, _):
+                p = "/".join(str(getattr(k, "key", k)) for k in path)
+                return (path_substring in p) == want_disc
+
+            return jax.tree_util.tree_map_with_path(label, params)
+
+        return fn
+
+    return optax.chain(
+        optax.masked(tx_main, _mask(False)),
+        optax.masked(tx_disc, _mask(True)),
+    )

@@ -255,3 +255,28 @@ def test_multihost_loader_shards_are_disjoint_and_aligned():
         )
         # different hosts see different data
         assert not np.allclose(np.asarray(l0.image_rgb), np.asarray(l1.image_rgb))
+
+
+def test_discriminator_optimizer_split():
+    """Params under a 'discriminator' path step with the second optimizer
+    (reference training_loop.py:563-569 vestigial GAN surface)."""
+    import optax
+
+    from holo_diffusion_tpu.train.optimizer import (
+        make_optimizer,
+        with_discriminator_optimizer,
+    )
+
+    params = {
+        "net": {"w": jnp.ones((3,))},
+        "discriminator": {"w": jnp.ones((3,))},
+    }
+    grads = jax.tree.map(jnp.ones_like, params)
+    tx = with_discriminator_optimizer(
+        optax.sgd(1.0), make_optimizer(breed="SGD", lr=0.1, momentum=0.0)
+    )
+    st = tx.init(params)
+    updates, _ = tx.update(grads, st, params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(new["net"]["w"]), 0.0)
+    np.testing.assert_allclose(np.asarray(new["discriminator"]["w"]), 0.9)
