@@ -57,6 +57,9 @@ def ssim(
     comparable across papers. Images (H, W, C) in [0, 1]."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
+    # images smaller than the window: shrink to the largest odd fit
+    win_size = min(win_size, a.shape[0], a.shape[1])
+    win_size -= 1 - win_size % 2
     k = _gaussian_kernel(win_size, sigma)
     mu_a = _filter2d_valid(a, k)
     mu_b = _filter2d_valid(b, k)
