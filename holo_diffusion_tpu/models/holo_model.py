@@ -226,21 +226,26 @@ class HoloDiffusionModel(nn.Module):
 
             if self.enable_bootstrap:
                 # Bootstrapped second pass (holo_diffusion_model.py:401-418):
-                # computed unconditionally, selected by a bernoulli draw so the
-                # whole step stays one compiled program.
+                # the bernoulli draw selects a lax.cond branch, so the second
+                # UNet fwd+bwd only RUNS on the ~bootstrap_prob fraction of
+                # steps (the reference's python `if`), while the whole step
+                # stays one compiled program.
                 if timesteps is None:
                     t2, _ = gd.uniform_sample_timesteps(self.schedule, 1, rng_t2)
                 else:
                     t2 = timesteps[1:]
-                noise2 = jax.random.normal(rng_n2, v.shape)
-                x_t2 = gd.q_sample(self.schedule, v, t2, noise2)
-                v2 = gd.p_mean_variance(
-                    self.schedule, model_fn, x_t2, t2, clip_denoised=True
-                )["pred_xstart"]
+
+                def boot_pass(v_in):
+                    noise2 = jax.random.normal(rng_n2, v_in.shape)
+                    x_t2 = gd.q_sample(self.schedule, v_in, t2, noise2)
+                    return gd.p_mean_variance(
+                        self.schedule, model_fn, x_t2, t2, clip_denoised=True
+                    )["pred_xstart"]
+
                 take_boot = (
                     jax.random.uniform(rng_b, ()) < self.bootstrap_prob
                 )
-                v = jnp.where(take_boot, v2, v)
+                v = jax.lax.cond(take_boot, boot_pass, lambda v_in: v_in, v)
             return v, aux
 
         # EVALUATION (or no diffusion): pass through the denoiser at t=0

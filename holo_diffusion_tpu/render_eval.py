@@ -80,19 +80,22 @@ def render_image_chunked(
     if chunk_renderer is None:
         chunk_renderer = make_chunk_renderer(model, variables)
 
+    # keep chunk outputs ON DEVICE and fetch once at the end: jax's async
+    # dispatch then pipelines all chunk programs through the (high-latency)
+    # transport instead of a blocking host round-trip per chunk
     feats, depths, masks, normals = [], [], [], []
     for ci in range(n_chunks):
         sl = slice(ci * rays_per_chunk, (ci + 1) * rays_per_chunk)
         chunk = jax.tree.map(lambda x: x[:, sl], padded)
         out = chunk_renderer(voxel_grid, chunk)
-        feats.append(np.asarray(out.features[0]))
-        depths.append(np.asarray(out.depths[0]))
-        masks.append(np.asarray(out.masks[0]))
+        feats.append(out.features[0])
+        depths.append(out.depths[0])
+        masks.append(out.masks[0])
         if out.normals is not None:
-            normals.append(np.asarray(out.normals[0]))
+            normals.append(out.normals[0])
 
     def assemble(parts, c):
-        flat = np.concatenate(parts, axis=0)[:n_rays]
+        flat = np.asarray(jnp.concatenate(parts, axis=0))[:n_rays]
         return flat.reshape(H, W, c)
 
     result = {

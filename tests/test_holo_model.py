@@ -184,3 +184,43 @@ def test_overfit_single_scene_render_mlp_only():
             first_psnr = float(psnr)
     assert jnp.isfinite(loss)
     assert float(psnr) > first_psnr + 2.0, (first_psnr, float(psnr))
+
+
+def test_bootstrap_cond_semantics():
+    """bootstrap_prob=0 must equal enable_bootstrap=False (identity branch of
+    the lax.cond), and prob=1 must change the output (second denoise pass
+    taken) — the reference's python branch (holo_diffusion_model.py:401-418)."""
+    import jax
+
+    from holo_diffusion_tpu.models.holo_model import HoloDiffusionModel
+
+    common = dict(
+        resol=4, feature_size=32, view_pooler_enabled=False,
+        n_pts_per_ray_training=4, n_pts_per_ray_fine_training=2,
+        n_rays_per_image=8, render_image_height=8, render_image_width=8,
+        net_3d_args=dict(model_channels=32, num_res_blocks=1, channel_mult=(1,),
+                         attention_resolutions=(), use_remat=False),
+        diffusion_args=dict(num_steps=8, beta_start_unscaled=8e-7,
+                            beta_end_unscaled=1.6e-4),
+        render_mlp_args=dict(dnet_hidden_dim=16, rnet_hidden_dim=8),
+    )
+    v0 = jax.numpy.tanh(
+        jax.random.normal(jax.random.PRNGKey(5), (1, 4, 4, 4, 32))
+    )
+    rng = jax.random.PRNGKey(7)
+
+    def denoised(**kw):
+        model = HoloDiffusionModel(**common, **kw)
+        x = jax.numpy.zeros((1, 4, 4, 4, 32))
+        t = jax.numpy.zeros((1,), jax.numpy.int32)
+        variables = model.init(jax.random.PRNGKey(0), x, t,
+                               method=HoloDiffusionModel.apply_net_3d)
+        out, _ = model.apply(variables, v0, True, rng,
+                             method=HoloDiffusionModel.denoise)
+        return np.asarray(out)
+
+    off = denoised(enable_bootstrap=False)
+    p0 = denoised(enable_bootstrap=True, bootstrap_prob=0.0)
+    p1 = denoised(enable_bootstrap=True, bootstrap_prob=1.0)
+    np.testing.assert_allclose(p0, off, atol=1e-6)
+    assert np.abs(p1 - off).max() > 1e-4
