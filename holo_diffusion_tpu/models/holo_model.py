@@ -235,17 +235,26 @@ class HoloDiffusionModel(nn.Module):
                 else:
                     t2 = timesteps[1:]
 
-                def boot_pass(v_in):
+                def boot_pass(mdl, v_in):
                     noise2 = jax.random.normal(rng_n2, v_in.shape)
-                    x_t2 = gd.q_sample(self.schedule, v_in, t2, noise2)
+                    x_t2 = gd.q_sample(mdl.schedule, v_in, t2, noise2)
                     return gd.p_mean_variance(
-                        self.schedule, model_fn, x_t2, t2, clip_denoised=True
+                        mdl.schedule,
+                        lambda x, t: mdl.net_3d(x, t),
+                        x_t2,
+                        t2,
+                        clip_denoised=True,
                     )["pred_xstart"]
 
                 take_boot = (
                     jax.random.uniform(rng_b, ()) < self.bootstrap_prob
                 )
-                v = jax.lax.cond(take_boot, boot_pass, lambda v_in: v_in, v)
+                # nn.cond (lifted): module calls inside a branch need the
+                # linen-aware cond; net_3d params already exist from the
+                # first pass, so both branches have identical variable use
+                v = nn.cond(
+                    take_boot, boot_pass, lambda mdl, v_in: v_in, self, v
+                )
             return v, aux
 
         # EVALUATION (or no diffusion): pass through the denoiser at t=0
