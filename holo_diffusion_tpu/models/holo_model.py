@@ -226,35 +226,26 @@ class HoloDiffusionModel(nn.Module):
 
             if self.enable_bootstrap:
                 # Bootstrapped second pass (holo_diffusion_model.py:401-418):
-                # the bernoulli draw selects a lax.cond branch, so the second
-                # UNet fwd+bwd only RUNS on the ~bootstrap_prob fraction of
-                # steps (the reference's python `if`), while the whole step
-                # stays one compiled program.
+                # computed unconditionally, selected by a bernoulli jnp.where
+                # so the whole step stays one compiled program.
+                # (A lax.cond / nn.cond that skips the second UNet pass on
+                # ~50% of steps was tried and reverted: linen modules inside
+                # raw lax.cond leak tracers, and the lifted nn.cond variant
+                # aborts XLA:CPU under shard_map+scan+grad — the extra pass
+                # costs ~2 ms of a 57 ms step, not worth a fragile branch.)
                 if timesteps is None:
                     t2, _ = gd.uniform_sample_timesteps(self.schedule, 1, rng_t2)
                 else:
                     t2 = timesteps[1:]
-
-                def boot_pass(mdl, v_in):
-                    noise2 = jax.random.normal(rng_n2, v_in.shape)
-                    x_t2 = gd.q_sample(mdl.schedule, v_in, t2, noise2)
-                    return gd.p_mean_variance(
-                        mdl.schedule,
-                        lambda x, t: mdl.net_3d(x, t),
-                        x_t2,
-                        t2,
-                        clip_denoised=True,
-                    )["pred_xstart"]
-
+                noise2 = jax.random.normal(rng_n2, v.shape)
+                x_t2 = gd.q_sample(self.schedule, v, t2, noise2)
+                v2 = gd.p_mean_variance(
+                    self.schedule, model_fn, x_t2, t2, clip_denoised=True
+                )["pred_xstart"]
                 take_boot = (
                     jax.random.uniform(rng_b, ()) < self.bootstrap_prob
                 )
-                # nn.cond (lifted): module calls inside a branch need the
-                # linen-aware cond; net_3d params already exist from the
-                # first pass, so both branches have identical variable use
-                v = nn.cond(
-                    take_boot, boot_pass, lambda mdl, v_in: v_in, self, v
-                )
+                v = jnp.where(take_boot, v2, v)
             return v, aux
 
         # EVALUATION (or no diffusion): pass through the denoiser at t=0
