@@ -270,3 +270,56 @@ def test_experiment_loss_aware_sampler(tmp_path):
     hist = state.sampler_state.loss_history
     sums = {float(np.asarray(s.data).sum()) for s in hist.addressable_shards}
     assert len(sums) == 1
+
+
+@pytest.mark.slow
+def test_import_reference_checkpoint_cli(tmp_path):
+    """scripts/import_reference_checkpoint.py: a reference-layout .pth becomes
+    a resumable orbax checkpoint with the mapped weights applied."""
+    import subprocess
+    import sys
+
+    import torch
+
+    cfg = _tiny_synthetic_cfg(tmp_path)
+    import yaml
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    # reference-style blob with a recognizable pooled_feature_mapper
+    feat = 32  # feature_size in the tiny cfg
+    exp_probe = Experiment(cfg)
+    in_dim = exp_probe.init_state().params["pooled_feature_mapper"][
+        "kernel"
+    ].shape[0]
+    sd = {
+        "pooled_feature_mapper.weight": torch.full((feat, in_dim), 0.25),
+        "pooled_feature_mapper.bias": torch.full((feat,), 0.5),
+    }
+    pth = tmp_path / "ref.pth"
+    torch.save({"model": sd}, pth)
+
+    exp_dir = tmp_path / "imported"
+    r = subprocess.run(
+        [sys.executable, "scripts/import_reference_checkpoint.py",
+         "--pth", str(pth), "--config-name", str(cfg_path),
+         "--exp-dir", str(exp_dir), "--epoch", "3"],
+        capture_output=True, text=True,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (exp_dir / "model_epoch_00000003").is_dir()
+
+    # resume finds it and the mapped weights are in place
+    cfg["exp_dir"] = str(exp_dir)
+    exp = Experiment(cfg)
+    from holo_diffusion_tpu.train.checkpoint import restore_checkpoint
+
+    state, ep = restore_checkpoint(str(exp_dir), exp.init_state())
+    assert ep == 3
+    k = np.asarray(state.params["pooled_feature_mapper"]["kernel"])
+    b = np.asarray(state.params["pooled_feature_mapper"]["bias"])
+    np.testing.assert_allclose(k, 0.25)
+    np.testing.assert_allclose(b, 0.5)
