@@ -114,6 +114,7 @@ class HoloDiffusionModel(nn.Module):
     render_mlp_args: Optional[dict] = None
     sampler: str = "auto"  # voxel sampling strategy (see models/implicit.py)
     sampler_precision: str = "default"  # fused-sampler MXU precision
+    collapse_density: str = "auto"  # fold the density MLP into the sampling
 
     loss_weights: Optional[Dict[str, float]] = None
     dtype: Any = jnp.float32
@@ -157,6 +158,7 @@ class HoloDiffusionModel(nn.Module):
             render_mlp_args=self.render_mlp_args,
             sampler=self.sampler,
             sampler_precision=self.sampler_precision,
+            collapse_density=self.collapse_density,
             name="implicit_function",
         )
         if self.diffusion_enabled:

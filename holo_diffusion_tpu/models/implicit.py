@@ -53,6 +53,18 @@ class VoxelGridImplicitFunction(nn.Module):
     # fwd+bwd than the packed gather on v5e) or "highest" = 3-pass f32
     # (~1e-6, parity with the gather samplers, ~gather speed).
     sampler_precision: str = "default"
+    # Collapse the density net into the sampling matmul ("auto"/"on"/"off"):
+    # under the release config the density MLP is an affine map of the
+    # sampled features (see RenderMLP.density_net_is_collapsible), so instead
+    # of sampling C channels and running a 4-layer per-point MLP, project the
+    # grid ONCE by the collapsed (C, hidden+1) matrix and sample
+    # pre-activations directly — the per-point density net disappears.
+    # MEASURED (v5e, 442k pts): kron sampling scales ~linearly in C
+    # (C=64: 12.7/12.6 ms fwd/bwd; C=264: 37.5/35.9) so the widened sample
+    # (~73 ms f+b) LOSES to sample(64)+MLP (~42 ms) — "auto" therefore
+    # resolves to OFF; the exact-equivalence path stays available ("on")
+    # for configs with wider grids or narrower hidden dims.
+    collapse_density: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -117,17 +129,40 @@ class VoxelGridImplicitFunction(nn.Module):
         ray_directions: (..., 3) per-ray (expanded over P) or None (dummy ones,
         matching the pts_3d path, holo_voxel_grid_implicit_function.py:232-238).
         """
-        sampled = self._sample(voxel_grid, ray_points_world)
+        collapse = self.collapse_density
+        if collapse == "auto":
+            collapse = "off"  # measured slower at release scale (see field doc)
+        if self.is_initializing():
+            # init must run the layer-by-layer path so every density-net
+            # param gets created before the collapse reads them
+            collapse = "off"
 
         if ray_directions is None:
-            dirs = jnp.ones(ray_points_world.shape[:-1] + (3,), sampled.dtype)
+            dirs_shape = ray_points_world.shape[:-1] + (3,)
+            dirs = jnp.ones(dirs_shape, jnp.float32)
         else:
             dirs = jnp.broadcast_to(
                 _normalize(ray_directions)[..., None, :],
                 ray_points_world.shape[:-1] + (3,),
             )
 
-        densities, colour, vp_feats = self.render_mlp(sampled, dirs)
+        if collapse == "on":
+            assert self.render_mlp.density_net_is_collapsible
+            from ..ops.pallas.kron_sample import trilinear_sample_fused
+
+            A, c = self.render_mlp.density_affine()
+            grid_proj = jnp.einsum("dhwc,ce->dhwe", voxel_grid, A)
+            pre = trilinear_sample_fused(
+                grid_proj, ray_points_world, self.volume_extent,
+                interpret=jax.default_backend() != "tpu",
+                precision=self.sampler_precision,
+            ) + c
+            densities, colour, vp_feats = (
+                self.render_mlp.decode_from_preactivation(pre, dirs)
+            )
+        else:
+            sampled = self._sample(voxel_grid, ray_points_world)
+            densities, colour, vp_feats = self.render_mlp(sampled, dirs)
 
         aux = {}
         if self.render_normals:

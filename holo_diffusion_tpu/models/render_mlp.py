@@ -76,6 +76,11 @@ class RenderMLP(nn.Module):
         """
         pe_features = self._feats_encoder(features)
         out = self._density_net(pe_features)
+        return self._decode_tail(out, view_dirs)
+
+    def _decode_tail(self, out: jnp.ndarray, view_dirs: jnp.ndarray):
+        """Everything after the density net: split [hidden | density], run the
+        radiance / vp-feature heads."""
         mlp_feats, densities = out[..., :-1], out[..., -1:]
 
         pe_viewdirs = self._dir_encoder(view_dirs)
@@ -89,6 +94,56 @@ class RenderMLP(nn.Module):
         if self.output_vp_independent_feature_dims > 0:
             vp_feats = self._feature_net(mlp_feats)
         return densities, radiance, vp_feats
+
+    @property
+    def density_net_is_collapsible(self) -> bool:
+        """True when the density net is an affine map of the raw features
+        followed by one activation — which it IS in the release configs:
+        feat_emb_dims=0 makes the feature encoding the identity, and the
+        reference's swapped activation order (custom_modules.py:108-113;
+        see models/mlp.py docstring) applies IDENTITY to every non-last
+        layer, so layers 0..n-2 are pure linear maps."""
+        from .mlp import MLPWithInputSkips  # noqa: F401 (doc anchor)
+
+        return (
+            self.feat_emb_dims == 0
+            and self._density_net.reference_activation_order
+            and self._density_net.last_activation == "IDENTITY"
+        )
+
+    def density_affine(self):
+        """Collapse the (linear-cascade) density net into ONE affine map:
+        density_net(s) == hidden_act(s @ A + c), A (input_dims, hidden+1).
+
+        The collapse is exact linear algebra over the layer kernels (skip
+        concatenations become [A | I] block rows), so gradients to the
+        original per-layer kernels flow through the products unchanged.
+        """
+        assert self.density_net_is_collapsible
+        p = self.variables["params"]["_density_net"]
+        d_in = self.input_dims
+        A = jnp.eye(d_in)
+        c = jnp.zeros((d_in,))[None]  # row vector for uniform matmul
+        skips = set(self.dnet_input_skips)
+        for li in range(self.dnet_num_layers):
+            if li > 0 and li in skips:
+                A = jnp.concatenate([A, jnp.eye(d_in)], axis=1)
+                c = jnp.concatenate([c, jnp.zeros((1, d_in))], axis=1)
+            K = p[f"linear_{li}"]["kernel"]
+            b = p[f"linear_{li}"]["bias"]
+            A = A @ K
+            c = c @ K + b[None]
+        return A, c[0]
+
+    def decode_from_preactivation(
+        self, pre: jnp.ndarray, view_dirs: jnp.ndarray
+    ):
+        """Decode from `s @ A + c` pre-activations (density_affine fast path):
+        apply the density net's output activation, then the standard tail."""
+        from .mlp import _HIDDEN_ACTS
+
+        out = _HIDDEN_ACTS[self._density_net.hidden_activation](pre)
+        return self._decode_tail(out, view_dirs)
 
     def density(self, features: jnp.ndarray) -> jnp.ndarray:
         """Density head only — used for normals via autodiff

@@ -151,3 +151,40 @@ def test_fused_sampler_full_model_equivalence():
                     jax.tree.leaves(grads["packed"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_collapsed_density_net_equivalence():
+    """collapse_density='on' (density MLP folded into the sampling matmul)
+    must match the layer-by-layer path exactly — forward, parameter grads,
+    and grid grads (the collapse is exact linear algebra)."""
+    from holo_diffusion_tpu.models.implicit import VoxelGridImplicitFunction
+
+    rng = np.random.RandomState(17)
+    D, C = 8, 32
+    grid = jnp.tanh(jnp.asarray(rng.randn(D, D, D, C), jnp.float32))
+    # include out-of-grid points: the collapsed bias must still apply there
+    pts = jnp.asarray(rng.uniform(-2.5, 2.5, (2, 48, 10, 3)), jnp.float32)
+    dirs = jnp.asarray(rng.randn(2, 48, 3), jnp.float32)
+
+    outs, grads = {}, {}
+    for collapse in ("off", "on"):
+        fn = VoxelGridImplicitFunction(
+            resol=D, volume_extent=4.0, n_hidden=C, feature_dim=0,
+            render_mlp_args=dict(dnet_hidden_dim=48, rnet_hidden_dim=16,
+                                 dnet_num_layers=4, dnet_input_skips=(2,)),
+            sampler="fused", collapse_density=collapse,
+        )
+        variables = fn.init(jax.random.PRNGKey(0), grid, pts, dirs)
+
+        def loss(v, g):
+            dens, feats, _ = fn.apply(v, g, pts, dirs)
+            return jnp.sum(dens ** 2) + jnp.sum(feats ** 2)
+
+        outs[collapse] = float(loss(variables, grid))
+        grads[collapse] = jax.grad(loss, argnums=(0, 1))(variables, grid)
+
+    np.testing.assert_allclose(outs["on"], outs["off"], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(grads["on"]),
+                    jax.tree.leaves(grads["off"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=2e-3)
