@@ -162,7 +162,10 @@ class Experiment:
             sampler_state = gd.LossSecondMomentState.create(
                 (self.model_args.get("diffusion_args") or {}).get("num_steps", 1000)
             )
-        return TrainState.create(variables, self.tx, sampler_state=sampler_state)
+        return TrainState.create(
+            variables, self.tx, sampler_state=sampler_state,
+            ema=float(self.cfg.get("ema_rate", 0.0)) > 0.0,
+        )
 
     # ------------------------------------------------------------------
     def _val_epoch(self, state, stats, rng, eval_step, epoch):
@@ -338,6 +341,9 @@ class Experiment:
             self.model, self.tx, mesh=mesh, donate=True,
             steps_per_call=steps_per_dispatch,
             schedule_sampler=self.schedule_sampler,
+            # EMA of params (our extension; guided_diffusion update_ema,
+            # nn.py:61-71 — sampling can use state.ema_variables())
+            ema_rate=float(self.cfg.get("ema_rate", 0.0)),
         )
         eval_step = make_eval_step(self.model)
 

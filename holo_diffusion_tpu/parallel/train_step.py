@@ -36,10 +36,13 @@ class TrainState:
     # loss-second-moment timestep-sampler state (None for uniform sampling);
     # replicated, updated identically on every device (timestep_sampler.py:112-127)
     sampler_state: Any = None
+    # optional EMA of params (guided_diffusion's update_ema, nn.py:61-71 —
+    # shipped-but-unused in the reference; enable with ema_rate > 0)
+    ema_params: Any = None
 
     @classmethod
     def create(cls, variables, tx: optax.GradientTransformation,
-               sampler_state: Any = None):
+               sampler_state: Any = None, ema: bool = False):
         params = variables["params"]
         model_state = {k: v for k, v in variables.items() if k != "params"}
         return cls(
@@ -48,7 +51,13 @@ class TrainState:
             opt_state=tx.init(params),
             model_state=model_state,
             sampler_state=sampler_state,
+            ema_params=jax.tree.map(jnp.array, params) if ema else None,
         )
+
+    def ema_variables(self):
+        """Variables with EMA params swapped in (for sampling/eval)."""
+        assert self.ema_params is not None
+        return {"params": self.ema_params, **self.model_state}
 
     def variables(self):
         return {"params": self.params, **self.model_state}
@@ -83,6 +92,7 @@ def make_train_step(
     donate: bool = True,
     steps_per_call: int = 1,
     schedule_sampler: str = "uniform",
+    ema_rate: float = 0.0,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -109,6 +119,11 @@ def make_train_step(
     loss_aware = schedule_sampler == "loss-second-moment"
     if loss_aware:
         sched = gd.make_named_schedule_from_config(model.diffusion_args)
+
+    def _ema(state, new_params):
+        if ema_rate <= 0.0 or state.ema_params is None:
+            return state.ema_params
+        return gd.update_ema(state.ema_params, new_params, rate=ema_rate)
 
     def _sample_ts(state: TrainState, rng_t: jax.Array):
         """(2,) timesteps for the (main, bootstrap) diffusion passes."""
@@ -169,6 +184,7 @@ def make_train_step(
                     opt_state=new_opt,
                     model_state=new_model_state,
                     sampler_state=new_sampler,
+                    ema_params=_ema(state, new_params),
                 ),
                 metrics,
             )
@@ -234,6 +250,7 @@ def make_train_step(
                 opt_state=new_opt,
                 model_state=new_model_state,
                 sampler_state=new_sampler,
+                ema_params=_ema(state, new_params),
             ),
             metrics,
         )

