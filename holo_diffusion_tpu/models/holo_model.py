@@ -115,6 +115,7 @@ class HoloDiffusionModel(nn.Module):
     sampler: str = "auto"  # voxel sampling strategy (see models/implicit.py)
     sampler_precision: str = "default"  # fused-sampler MXU precision
     collapse_density: str = "auto"  # fold the density MLP into the sampling
+    fuse_decode: str = "auto"  # one-kernel sample+decode (models/implicit.py)
 
     loss_weights: Optional[Dict[str, float]] = None
     dtype: Any = jnp.float32
@@ -159,6 +160,7 @@ class HoloDiffusionModel(nn.Module):
             sampler=self.sampler,
             sampler_precision=self.sampler_precision,
             collapse_density=self.collapse_density,
+            fuse_decode=self.fuse_decode,
             name="implicit_function",
         )
         if self.diffusion_enabled:

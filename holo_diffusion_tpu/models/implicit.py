@@ -65,6 +65,11 @@ class VoxelGridImplicitFunction(nn.Module):
     # resolves to OFF; the exact-equivalence path stays available ("on")
     # for configs with wider grids or narrower hidden dims.
     collapse_density: str = "auto"
+    # Fully-fused sample+decode Pallas kernel ("auto"/"on"/"off",
+    # ops/pallas/fused_decode.py): applies the collapsed density affine to
+    # the VMEM-resident samples INSIDE the kernel (narrow channels, unlike
+    # collapse_density) plus the radiance head — only density+rgb leave VMEM.
+    fuse_decode: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -146,7 +151,39 @@ class VoxelGridImplicitFunction(nn.Module):
                 ray_points_world.shape[:-1] + (3,),
             )
 
-        if collapse == "on":
+        fuse = self.fuse_decode
+        if fuse == "auto":
+            from ..ops.pallas.kron_sample import DEFAULT_MAX_GC
+
+            D_, H_, W_, C_ = voxel_grid.shape
+            fuse = (
+                "on"
+                if (
+                    jax.default_backend() == "tpu"
+                    and self.render_mlp.decode_is_fusable
+                    and D_ * H_ * W_ * C_ <= DEFAULT_MAX_GC
+                )
+                else "off"
+            )
+        if self.is_initializing():
+            fuse = "off"
+
+        if fuse == "on":
+            assert self.render_mlp.decode_is_fusable
+            from ..ops.pallas.fused_decode import fused_sample_decode
+
+            A, c = self.render_mlp.density_affine()
+            Wr, br = self.render_mlp.radiance_linear()
+            pe_dirs = self.render_mlp.encode_dirs(dirs)
+            densities, colour = fused_sample_decode(
+                voxel_grid, A, c, Wr, br, ray_points_world, pe_dirs,
+                extent=self.volume_extent,
+                hidden=self.render_mlp.dnet_hidden_dim,
+                interpret=jax.default_backend() != "tpu",
+                precision=self.sampler_precision,
+            )
+            vp_feats = None
+        elif collapse == "on":
             assert self.render_mlp.density_net_is_collapsible
             from ..ops.pallas.kron_sample import trilinear_sample_fused
 

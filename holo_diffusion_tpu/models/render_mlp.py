@@ -135,6 +135,30 @@ class RenderMLP(nn.Module):
             c = c @ K + b[None]
         return A, c[0]
 
+    @property
+    def decode_is_fusable(self) -> bool:
+        """True when the whole decode matches the fused Pallas kernel's
+        shape: collapsible density net + single-layer LEAKYRELU radiance head
+        producing sigmoid RGB, no vp-feature head — the release config."""
+        return (
+            self.density_net_is_collapsible
+            and self.output_vp_independent_feature_dims == 0
+            and self.output_feature_dims == COLOUR_DIMS
+            and self.rnet_num_layers == 1
+            and tuple(self.rnet_input_skips) == ()
+            and self.activation_fn == "LEAKYRELU"
+            and self._radiance_net.reference_activation_order
+        )
+
+    def encode_dirs(self, view_dirs: jnp.ndarray) -> jnp.ndarray:
+        """Harmonic embedding of unit view directions (the radiance input)."""
+        return self._dir_encoder(view_dirs)
+
+    def radiance_linear(self):
+        """(kernel (hidden+pe_dim, 3), bias (3,)) of the single radiance layer."""
+        p = self.variables["params"]["_radiance_net"]["linear_0"]
+        return p["kernel"], p["bias"]
+
     def decode_from_preactivation(
         self, pre: jnp.ndarray, view_dirs: jnp.ndarray
     ):

@@ -165,11 +165,16 @@ def _dpoints_kernel(
     d_iz = jnp.sum((dhz * hy) * E2, axis=1)
 
     inv_vs = D / extent  # d idx / d world-coordinate
-    out = jnp.zeros((block_n, 128), jnp.float32)
-    out = out.at[:, 0].set(d_ix * inv_vs)
-    out = out.at[:, 1].set(d_iy * inv_vs)
-    out = out.at[:, 2].set(d_iz * inv_vs)
-    dpts_ref[:] = out
+    # concat, not .at[].set — dynamic-update lowers to scatter (unsupported)
+    dpts_ref[:] = jnp.concatenate(
+        [
+            (d_ix * inv_vs)[:, None],
+            (d_iy * inv_vs)[:, None],
+            (d_iz * inv_vs)[:, None],
+            jnp.zeros((block_n, 125), jnp.float32),
+        ],
+        axis=1,
+    )
 
 
 def _pad_points(points_flat, block_n):

@@ -188,3 +188,47 @@ def test_collapsed_density_net_equivalence():
                     jax.tree.leaves(grads["off"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=2e-3)
+
+
+def test_fused_decode_equivalence():
+    """fuse_decode='on' (one-kernel sample + density affine + radiance head)
+    must match the unfused implicit function — forward and gradients to every
+    parameter and the grid."""
+    from holo_diffusion_tpu.models.implicit import VoxelGridImplicitFunction
+
+    rng = np.random.RandomState(23)
+    D, C = 8, 32
+    grid = jnp.tanh(jnp.asarray(rng.randn(D, D, D, C), jnp.float32))
+    pts = jnp.asarray(rng.uniform(-2.5, 2.5, (2, 40, 9, 3)), jnp.float32)
+    dirs = jnp.asarray(rng.randn(2, 40, 3), jnp.float32)
+
+    outs, grads = {}, {}
+    for fuse in ("off", "on"):
+        fn = VoxelGridImplicitFunction(
+            resol=D, volume_extent=4.0, n_hidden=C, feature_dim=0,
+            render_mlp_args=dict(dnet_hidden_dim=48, rnet_hidden_dim=16,
+                                 dnet_num_layers=4, dnet_input_skips=(2,)),
+            sampler="fused", fuse_decode=fuse, collapse_density="off",
+        )
+        variables = fn.init(jax.random.PRNGKey(0), grid, pts, dirs)
+        assert fn.bind(variables).render_mlp.decode_is_fusable
+
+        def loss(v, g):
+            dens, feats, _ = fn.apply(v, g, pts, dirs)
+            return jnp.sum(dens ** 2) + 2.0 * jnp.sum(feats ** 2)
+
+        outs[fuse] = float(loss(variables, grid))
+        grads[fuse] = jax.grad(loss, argnums=(0, 1))(variables, grid)
+
+    np.testing.assert_allclose(outs["on"], outs["off"], rtol=1e-5)
+    flat_on = jax.tree_util.tree_leaves_with_path(grads["on"])
+    flat_off = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(grads["off"])
+    )
+    for k, a in flat_on:
+        b = flat_off[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(k),
+        )
