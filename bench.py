@@ -238,6 +238,77 @@ def bench_render_rays():
     return K * n_views * n_rays / dt
 
 
+def bench_render_rays_fused():
+    """Rendered rays/sec at the RELEASE sampling scale (16^3 x 64 grid,
+    holo_diffusion_model.py:152-155) through the fully-fused sample+decode
+    kernel — the training hot path's actual configuration."""
+    import jax
+    import jax.numpy as jnp
+
+    from holo_diffusion_tpu.geometry.cameras import (
+        PerspectiveCameras,
+        look_at_view_transform,
+    )
+    from holo_diffusion_tpu.geometry.rays import sample_rays_from_mask
+    from holo_diffusion_tpu.models.implicit import VoxelGridImplicitFunction
+    from holo_diffusion_tpu.models.renderer import multipass_ea_render
+
+    n_views, n_rays, n_pts = 3, 1024, 64
+    R, T = look_at_view_transform(
+        dist=6.0, elev=jnp.linspace(0, 30, n_views), azim=jnp.linspace(0, 120, n_views)
+    )
+    cams = PerspectiveCameras(
+        R=R,
+        T=T,
+        focal_length=jnp.full((n_views, 2), 2.0),
+        principal_point=jnp.zeros((n_views, 2)),
+    )
+    fn = VoxelGridImplicitFunction(
+        resol=16,
+        volume_extent=8.0,
+        n_hidden=64,
+        fuse_decode="on",
+        render_mlp_args=dict(dnet_hidden_dim=256, rnet_hidden_dim=128),
+    )
+    grid = jnp.tanh(
+        jax.random.normal(jax.random.PRNGKey(0), (16, 16, 16, 64), jnp.float32)
+    )
+    mask = jnp.ones((n_views, 64, 64))
+    rb0 = sample_rays_from_mask(
+        cams, mask, n_rays, n_pts, jax.random.PRNGKey(1), scene_extent=4.0
+    )
+    from holo_diffusion_tpu.geometry.rays import ray_bundle_to_ray_points
+
+    pts0 = ray_bundle_to_ray_points(rb0)
+    params = fn.init(jax.random.PRNGKey(2), grid, pts0, rb0.directions)
+
+    K = 8
+
+    @jax.jit
+    def render_k(params, grid, rng):
+        def body(r, _):
+            r, sub = jax.random.split(r)
+            rb = sample_rays_from_mask(
+                cams, mask, n_rays, n_pts, sub, scene_extent=4.0
+            )
+            out = multipass_ea_render(
+                lambda p, d, i: fn.apply(params, grid, p, d),
+                rb,
+                n_pts_per_ray_fine=16,
+                rng=sub,
+                training=True,
+                num_passes=2,
+            )
+            return r, jnp.sum(out.features)
+
+        _, sums = jax.lax.scan(body, rng, jnp.arange(K))
+        return sums
+
+    _log("[bench] compiling fused render scan ...")
+    dt = _timeit(render_k, params, grid, jax.random.PRNGKey(3), warmup=2, iters=5)
+    return K * n_views * n_rays / dt
+
+
 def bench_train_step():
     """Full train-step throughput (pool -> noise -> denoise -> render -> grad
     -> adam) at base.yaml scale on synthetic data, dispatch-amortized."""
@@ -319,6 +390,7 @@ def main():
             "probe": _probe_device,
             "denoise": bench_denoise_step,
             "render": bench_render_rays,
+            "render_fused": bench_render_rays_fused,
             "train": bench_train_step,
         }[phase]
         out = fn()
@@ -342,6 +414,7 @@ def main():
 
     steps_per_sec = _run_phase("denoise", 2400)
     rays_per_sec = _run_phase("render", 1200)
+    rays_fused = _run_phase("render_fused", 1200)
     train_steps_per_sec = _run_phase("train", 2400)
     print(
         json.dumps(
@@ -353,6 +426,9 @@ def main():
                 "extra": {
                     "rendered_rays_per_sec": (
                         round(rays_per_sec, 1) if rays_per_sec else None
+                    ),
+                    "rendered_rays_per_sec_release_scale_fused": (
+                        round(rays_fused, 1) if rays_fused else None
                     ),
                     "train_steps_per_sec": (
                         round(train_steps_per_sec, 3) if train_steps_per_sec else None
