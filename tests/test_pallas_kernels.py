@@ -232,3 +232,46 @@ def test_fused_decode_equivalence():
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3,
             err_msg=jax.tree_util.keystr(k),
         )
+
+
+def test_auto_selection_resolves_fused_on_tpu(monkeypatch):
+    """With a (mocked) TPU backend, the hydrant-scale implicit function must
+    trace through the fused sample+decode kernel by default — guards the
+    auto-selection logic without real hardware."""
+    from holo_diffusion_tpu.models import implicit as implicit_mod
+    from holo_diffusion_tpu.models.implicit import VoxelGridImplicitFunction
+
+    rng = np.random.RandomState(3)
+    D, C = 16, 64
+    grid = jnp.tanh(jnp.asarray(rng.randn(D, D, D, C), jnp.float32))
+    pts = jnp.asarray(rng.uniform(-2, 2, (1, 32, 8, 3)), jnp.float32)
+    dirs = jnp.asarray(rng.randn(1, 32, 3), jnp.float32)
+
+    # hydrant-scale decoder (render_mlp_args, configs/hydrant.yaml:204-217)
+    fn = VoxelGridImplicitFunction(
+        resol=D, volume_extent=8.0, n_hidden=C, feature_dim=0,
+        render_mlp_args=dict(dnet_hidden_dim=256, rnet_hidden_dim=128),
+    )
+    variables = fn.init(jax.random.PRNGKey(0), grid, pts, dirs)
+
+    monkeypatch.setattr(implicit_mod.jax, "default_backend", lambda: "tpu")
+    import holo_diffusion_tpu.ops.pallas.fused_decode as fd
+
+    monkeypatch.setattr(fd.jax, "default_backend", lambda: "tpu", raising=False)
+    jaxpr = jax.make_jaxpr(lambda v, g: fn.apply(v, g, pts, dirs))(
+        variables, grid
+    )
+    assert "pallas_call" in str(jaxpr)
+
+    # a too-large grid must NOT pick the fused kernel (falls back to gather)
+    big = jnp.zeros((32, 32, 32, 128), jnp.float32)
+    pts2 = jnp.asarray(rng.uniform(-2, 2, (1, 8, 4, 3)), jnp.float32)
+    fn_big = VoxelGridImplicitFunction(
+        resol=32, volume_extent=8.0, n_hidden=128, feature_dim=0,
+        render_mlp_args=dict(dnet_hidden_dim=256, rnet_hidden_dim=128),
+    )
+    v_big = fn_big.init(jax.random.PRNGKey(0), big, pts2, dirs[:, :8])
+    jaxpr_big = jax.make_jaxpr(
+        lambda v, g: fn_big.apply(v, g, pts2, dirs[:, :8])
+    )(v_big, big)
+    assert "pallas_call" not in str(jaxpr_big)
