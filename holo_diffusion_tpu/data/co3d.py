@@ -158,13 +158,6 @@ def crop_intrinsics(
     return focal2.astype(np.float32), pp2.astype(np.float32)
 
 
-def _load_image(path: str) -> np.ndarray:
-    from PIL import Image
-
-    with Image.open(path) as im:
-        return np.asarray(im.convert("RGB"), np.float32) / 255.0
-
-
 def _load_mask(path: str) -> np.ndarray:
     from PIL import Image
 

@@ -63,11 +63,6 @@ def _indices(pts, D, H, W, extent):
     return ix, iy, iz
 
 
-def _hat(idx, grid_pos):
-    """relu(1 - |idx - pos|): the 1-D trilinear hat weights."""
-    return jnp.maximum(0.0, 1.0 - jnp.abs(idx[:, None] - grid_pos))
-
-
 def _wzy(iz, iy, D, H, block_n):
     """(block_n, D*H) combined z/y hat weights; lane q = z*H + y."""
     q = jax.lax.broadcasted_iota(jnp.int32, (block_n, D * H), 1)

@@ -18,13 +18,6 @@ from .models import diffusion as gd
 from .models.holo_model import HoloDiffusionModel
 
 
-def _model_fn(model: HoloDiffusionModel, params):
-    def fn(x, t):
-        return model.apply(params, x, t, method=HoloDiffusionModel.apply_net_3d)
-
-    return fn
-
-
 def _schedule(model: HoloDiffusionModel) -> gd.DiffusionSchedule:
     keys = (
         "schedule_name", "num_steps", "beta_start_unscaled",
