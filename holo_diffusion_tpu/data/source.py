@@ -103,9 +103,13 @@ def device_batched_loader(
     first = process_index * local
     for b in range(n_batches):
         batches = [
+            # SeedSequence hashes the (seed, batch, device) key — unlike the
+            # previous linear arithmetic, no (seed, b, d) pair can collide
+            # with another epoch's stream (ADVICE r2: b*7919 used to wrap
+            # into the next seed's stride at b >= 127)
             dataset.sample_batch(
                 np.random.RandomState(
-                    (seed * 1_000_003 + b * 7919 + (first + d)) % (2**31 - 1)
+                    np.random.SeedSequence((seed, b, first + d)).generate_state(1)[0]
                 ),
                 batch_size,
             )

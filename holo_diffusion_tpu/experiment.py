@@ -441,22 +441,35 @@ class Experiment:
                     visualize_preds(
                         out, os.path.join(self.exp_dir, "visuals"), "val", epoch
                     )
-                    # denoising-video stream (holo_diffusion_model.py:598-616)
+                    # denoising-video stream (holo_diffusion_model.py:598-616);
+                    # fall back to a train-scene camera when the val split is
+                    # empty (ADVICE r2: camera=None crashed in
+                    # render_image_chunked at visualization time)
                     if self.cfg.get("visualize_denoising_video", False):
-                        from .utils.vis import denoising_video
+                        dv_camera = None
+                        if self.data.val.scenes:
+                            dv_camera = self.data.val.scenes[0].camera[:1]
+                        elif self.data.train.scenes:
+                            dv_camera = self.data.train.scenes[0].camera[:1]
+                        if dv_camera is None:
+                            logger.warning(
+                                "visualize_denoising_video: no scenes in any "
+                                "split; skipping the denoising-video dump"
+                            )
+                        else:
+                            from .utils.vis import denoising_video
 
-                        rng, dv_rng = jax.random.split(rng)
-                        denoising_video(
-                            self.model,
-                            jax.device_get(state.variables()),
-                            os.path.join(
-                                self.exp_dir, "visuals",
-                                f"denoising_{epoch:08d}.mp4",
-                            ),
-                            self.data.val.scenes[0].camera[:1]
-                            if self.data.val.scenes else None,
-                            dv_rng,
-                        )
+                            rng, dv_rng = jax.random.split(rng)
+                            denoising_video(
+                                self.model,
+                                jax.device_get(state.variables()),
+                                os.path.join(
+                                    self.exp_dir, "visuals",
+                                    f"denoising_{epoch:08d}.mp4",
+                                ),
+                                dv_camera,
+                                dv_rng,
+                            )
 
             # periodic test eval (training_loop.py:273-279)
             if (

@@ -697,28 +697,38 @@ def loss_aware_sample_timesteps(
 
 
 def loss_aware_update(
-    state: LossSecondMomentState, ts: jnp.ndarray, losses: jnp.ndarray
+    state: LossSecondMomentState,
+    ts: jnp.ndarray,
+    losses: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
 ) -> LossSecondMomentState:
     """Insert (t, loss) pairs into the ring buffer. `ts`/`losses` should be the
     all-gathered global batch so every replica applies the same update
-    (deterministic replicated update, timestep_sampler.py:112-127)."""
+    (deterministic replicated update, timestep_sampler.py:112-127).
+
+    mask: optional (K,) bool — entries with mask=False are skipped (static
+    scan length, masked carry update). Used to withhold credit for the
+    bootstrap timestep on steps where the bootstrap branch was not selected.
+    """
     T, H = state.loss_history.shape
+    if mask is None:
+        mask = jnp.ones(ts.shape, bool)
 
     def insert(carry, inp):
         hist, counts = carry
-        t, loss = inp
+        t, loss, valid = inp
         cnt = counts[t]
         # ring-buffer shift when full, else append at cnt
         row = hist[t]
         shifted = jnp.concatenate([row[1:], jnp.array([loss])])
         appended = row.at[jnp.minimum(cnt, H - 1)].set(loss)
         new_row = jnp.where(cnt == H, shifted, appended)
-        hist = hist.at[t].set(new_row)
-        counts = counts.at[t].set(jnp.minimum(cnt + 1, H))
+        hist = hist.at[t].set(jnp.where(valid, new_row, row))
+        counts = counts.at[t].set(jnp.where(valid, jnp.minimum(cnt + 1, H), cnt))
         return (hist, counts), None
 
     (hist, counts), _ = jax.lax.scan(
-        insert, (state.loss_history, state.loss_counts), (ts, losses)
+        insert, (state.loss_history, state.loss_counts), (ts, losses, mask)
     )
     return LossSecondMomentState(loss_history=hist, loss_counts=counts)
 

@@ -250,6 +250,11 @@ class HoloDiffusionModel(nn.Module):
                     jax.random.uniform(rng_b, ()) < self.bootstrap_prob
                 )
                 v = jnp.where(take_boot, v2, v)
+                # exposed so the train step can (a) scale the objective by the
+                # bootstrap timestep's importance weight only when the branch
+                # was taken and (b) gate the loss-aware sampler's credit for
+                # t_bootstrap on the same condition (timestep_sampler.py:48-64)
+                aux["take_boot"] = take_boot
             return v, aux
 
         # EVALUATION (or no diffusion): pass through the denoiser at t=0

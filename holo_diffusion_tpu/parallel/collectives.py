@@ -20,24 +20,31 @@ def gathered_loss_aware_update(
     ts: jnp.ndarray,
     losses: jnp.ndarray,
     axis_name: str = "data",
+    mask: jnp.ndarray = None,
 ) -> gd.LossSecondMomentState:
     """Replicated-deterministic sampler update from per-device (t, loss) pairs.
 
-    ts: (K,) int32 local timesteps; losses: scalar or (K,) local losses.
+    ts: (K,) int32 local timesteps; losses: scalar or (K,) local losses;
+    mask: optional (K,) bool validity per local pair (gathered alongside —
+    e.g. the bootstrap timestep only counts on steps where the bootstrap
+    branch was selected).
     Every device all-gathers the global pairs and applies the SAME update, so
     the replicated LossSecondMomentState stays bit-identical across the mesh
     (the reference's update_with_all_losses, timestep_sampler.py:112-127).
     Must be called inside shard_map/pmap with `axis_name` bound.
     """
     losses = jnp.broadcast_to(losses, ts.shape)
+    if mask is None:
+        mask = jnp.ones(ts.shape, bool)
     all_ts = jax.lax.all_gather(ts, axis_name).reshape(-1)
     all_losses = jax.lax.all_gather(losses, axis_name).reshape(-1)
+    all_mask = jax.lax.all_gather(mask, axis_name).reshape(-1)
     # the replicated state enters as unvarying; the gathered inputs are
     # device-varying (though equal-valued) — align the scan carry types
     state = jax.tree.map(
         lambda x: jax.lax.pcast(x, (axis_name,), to="varying"), state
     )
-    new_state = gd.loss_aware_update(state, all_ts, all_losses)
+    new_state = gd.loss_aware_update(state, all_ts, all_losses, all_mask)
     # every device computed the SAME update from the same gathered pairs, but
     # the vma type is still `varying`; a pmax over equal values restores the
     # statically-known replication (invarying) the caller's out_specs need —

@@ -84,6 +84,22 @@ def _scalar_metrics(preds: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
     return {k: preds[k] for k in _TRACKED_METRICS if k in preds}
 
 
+def ts_validity_mask(take_boot: jnp.ndarray) -> jnp.ndarray:
+    """Validity of the (main, bootstrap) sampler-credit pairs: the main
+    timestep always entered the loss; the bootstrap one only when the
+    bootstrap branch was selected (holo_diffusion_model.py:401-418)."""
+    return jnp.stack([jnp.ones((), bool), take_boot.astype(bool)])
+
+
+def importance_scale(weights: jnp.ndarray, take_boot: jnp.ndarray) -> jnp.ndarray:
+    """Importance-sampling loss rescale for the loss-second-moment sampler
+    (the ScheduleSampler.sample weights contract, timestep_sampler.py:48-64):
+    w[t_main] always; additionally w[t_boot] when the bootstrap branch was
+    taken — the two draws are independent, so the unbiased correction is the
+    product of the weights that actually entered the loss."""
+    return weights[0] * jnp.where(take_boot, weights[1], 1.0)
+
+
 def make_train_step(
     model: HoloDiffusionModel,
     tx: optax.GradientTransformation,
@@ -108,13 +124,19 @@ def make_train_step(
     schedule_sampler: "uniform" (default; model samples t internally) or
     "loss-second-moment" (timestep_sampler.py:130-160): t for both diffusion
     passes is drawn from the sqrt-second-moment weights held in
-    `state.sampler_state`, and the state is updated every step from the
-    all-gathered (t, loss) pairs so it stays identical on every device.
-    NOTE the reference *selects* this sampler via config
+    `state.sampler_state`, the differentiated objective is rescaled by the
+    importance weights 1/(T*p[t]) (the ScheduleSampler.sample contract,
+    timestep_sampler.py:48-64 — the bootstrap timestep's weight applies only
+    on steps where the bootstrap branch was selected, since only then does
+    t_bootstrap enter the loss), and the state is updated every step from the
+    all-gathered (t, loss, valid) triples so it stays identical on every
+    device. NOTE the reference *selects* this sampler via config
     (diffusion_utils.py:97,113) but its photometric path never feeds it
     (holo_diffusion_model.py:387 discards the weights and never calls
     update_with_local_losses), so there it degenerates to uniform; here the
-    photometric objective is fed back as the per-timestep loss signal.
+    photometric objective is importance-corrected and fed back as the
+    per-timestep loss signal (credit for t_bootstrap gated on take_boot).
+    Reported metrics stay UNweighted; only the grad target is rescaled.
     """
     loss_aware = schedule_sampler == "loss-second-moment"
     if loss_aware:
@@ -126,15 +148,15 @@ def make_train_step(
         return gd.update_ema(state.ema_params, new_params, rate=ema_rate)
 
     def _sample_ts(state: TrainState, rng_t: jax.Array):
-        """(2,) timesteps for the (main, bootstrap) diffusion passes."""
-        ts, _ = gd.loss_aware_sample_timesteps(sched, state.sampler_state, 2, rng_t)
-        return ts
+        """(2,) timesteps + importance weights for (main, bootstrap) passes."""
+        return gd.loss_aware_sample_timesteps(sched, state.sampler_state, 2, rng_t)
+
 
     def device_step(state: TrainState, batch: FrameData, rng: jax.Array):
-        timesteps = None
+        timesteps = weights = None
         if loss_aware:
             rng, rng_t = jax.random.split(rng)
-            timesteps = _sample_ts(state, rng_t)
+            timesteps, weights = _sample_ts(state, rng_t)
 
         def loss_fn(params):
             preds, new_model_state = model.apply(
@@ -149,12 +171,16 @@ def make_train_step(
                 timesteps=timesteps,
                 mutable=list(state.model_state.keys()),
             )
-            return preds["objective"], (_scalar_metrics(preds), new_model_state)
+            take_boot = preds.get("diffusion_take_boot", jnp.zeros((), bool))
+            objective = preds["objective"]
+            if loss_aware:
+                objective = objective * importance_scale(weights, take_boot)
+            return objective, (_scalar_metrics(preds), new_model_state, take_boot)
 
-        (loss, (metrics, new_model_state)), grads = jax.value_and_grad(
+        (_, (metrics, new_model_state, take_boot)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        return grads, metrics, new_model_state, timesteps, loss
+        return grads, metrics, new_model_state, timesteps, take_boot
 
     def _scan_steps(one_step, state, batch, rng):
         """Run K chained optimizer steps over a leading step axis."""
@@ -167,7 +193,7 @@ def make_train_step(
     if mesh is None:
 
         def one_step(state: TrainState, batch: FrameData, rng: jax.Array):
-            grads, metrics, new_model_state, ts, loss = device_step(
+            grads, metrics, new_model_state, ts, take_boot = device_step(
                 state, batch, rng
             )
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -175,7 +201,10 @@ def make_train_step(
             new_sampler = state.sampler_state
             if loss_aware:
                 new_sampler = gd.loss_aware_update(
-                    state.sampler_state, ts, jnp.broadcast_to(loss, ts.shape)
+                    state.sampler_state,
+                    ts,
+                    jnp.broadcast_to(metrics["objective"], ts.shape),
+                    mask=ts_validity_mask(take_boot),
                 )
             return (
                 state.replace(
@@ -202,10 +231,10 @@ def make_train_step(
         # decorrelate per-device randomness
         idx = jax.lax.axis_index(axis_name)
         rng = jax.random.fold_in(rng, idx)
-        timesteps = None
+        timesteps = weights = None
         if loss_aware:
             rng, rng_t = jax.random.split(rng)
-            timesteps = _sample_ts(state, rng_t)
+            timesteps, weights = _sample_ts(state, rng_t)
 
         def loss_fn(params):
             preds, new_model_state = model.apply(
@@ -220,14 +249,18 @@ def make_train_step(
                 timesteps=timesteps,
                 mutable=list(state.model_state.keys()),
             )
+            take_boot = preds.get("diffusion_take_boot", jnp.zeros((), bool))
+            objective = preds["objective"]
+            if loss_aware:
+                objective = objective * importance_scale(weights, take_boot)
             # pmean the objective BEFORE grad: the cotangent of replicated
             # params is auto-psummed by AD under shard_map, so differentiating
             # the globally-averaged loss yields exactly the mean gradient (the
             # reference's DDP all-reduce, training_loop.py:536-543).
-            global_loss = jax.lax.pmean(preds["objective"], axis_name)
-            return global_loss, (_scalar_metrics(preds), new_model_state)
+            global_loss = jax.lax.pmean(objective, axis_name)
+            return global_loss, (_scalar_metrics(preds), new_model_state, take_boot)
 
-        (_, (metrics, new_model_state)), grads = jax.value_and_grad(
+        (_, (metrics, new_model_state, take_boot)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
         new_sampler = state.sampler_state
@@ -237,7 +270,11 @@ def make_train_step(
             from .collectives import gathered_loss_aware_update
 
             new_sampler = gathered_loss_aware_update(
-                state.sampler_state, timesteps, metrics["objective"], axis_name
+                state.sampler_state,
+                timesteps,
+                metrics["objective"],
+                axis_name,
+                mask=ts_validity_mask(take_boot),
             )
         metrics = jax.lax.pmean(metrics, axis_name)
         new_model_state = jax.lax.pmean(new_model_state, axis_name)

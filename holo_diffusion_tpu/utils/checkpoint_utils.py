@@ -19,9 +19,15 @@ def load_experiment(
     exp_dir: str,
     overrides: Optional[List[str]] = None,
     render_size: Optional[Tuple[int, int]] = None,
+    use_ema: bool = False,
 ) -> Tuple[Experiment, TrainState]:
     """Returns (experiment, restored TrainState); raises when no checkpoint
-    exists (force_resume semantics, checkpoint_utils.py:58-64)."""
+    exists (force_resume semantics, checkpoint_utils.py:58-64).
+
+    use_ema: swap the EMA parameters (tracked when training ran with
+    `ema_rate > 0`; guided_diffusion's update_ema, nn.py:61-71) into
+    `state.params`, so every downstream `state.variables()` consumer —
+    sampling, flyaround, evaluation — renders through the averaged weights."""
     cfg_path = os.path.join(exp_dir, "expconfig.yaml")
     cfg = load_config(cfg_path)
     cfg["exp_dir"] = exp_dir

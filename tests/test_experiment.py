@@ -264,8 +264,9 @@ def test_experiment_loss_aware_sampler(tmp_path):
     counts = np.asarray(jax.device_get(state.sampler_state.loss_counts))
     n_steps = int(jax.device_get(state.step))
     n_dev = jax.device_count()
-    # 2 timesteps per device-step (main + bootstrap), gathered over all devices
-    assert counts.sum() == 2 * n_steps * n_dev
+    # main timestep credited every device-step; the bootstrap timestep only on
+    # the ~bootstrap_prob fraction of steps where the branch was selected
+    assert n_steps * n_dev <= counts.sum() <= 2 * n_steps * n_dev
     # the replicated state must be identical on every device
     hist = state.sampler_state.loss_history
     sums = {float(np.asarray(s.data).sum()) for s in hist.addressable_shards}

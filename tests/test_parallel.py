@@ -183,6 +183,25 @@ def test_loss_aware_sampler_sync_across_devices():
     assert int(jnp.sum(new_state.loss_counts)) == 8
 
 
+def test_importance_scale_and_validity_mask():
+    """Loss rescale w[t_main] * (w[t_boot] if taken) and the matching sampler
+    credit mask (ADVICE r2: the ScheduleSampler.sample weights contract)."""
+    from holo_diffusion_tpu.parallel.train_step import (
+        importance_scale,
+        ts_validity_mask,
+    )
+
+    w = jnp.array([2.0, 0.5])
+    assert float(importance_scale(w, jnp.array(False))) == pytest.approx(2.0)
+    assert float(importance_scale(w, jnp.array(True))) == pytest.approx(1.0)
+    np.testing.assert_array_equal(
+        ts_validity_mask(jnp.array(False)), [True, False]
+    )
+    np.testing.assert_array_equal(
+        ts_validity_mask(jnp.array(True)), [True, True]
+    )
+
+
 def test_multi_step_scan_matches_sequential(setup):
     """K steps_per_call (one dispatch) must equal K sequential single steps."""
     model, variables, tx = setup
