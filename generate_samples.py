@@ -34,6 +34,8 @@ def main():
     save_voxel_features = opts.pop("save_voxel_features", False)
     seed = opts.pop("seed", 0)
     video_fps = opts.pop("video_fps", 20)
+    # sample through the EMA parameters (requires training with ema_rate > 0)
+    use_ema = opts.pop("use_ema", False)
     if opts:
         raise ValueError(f"unknown args: {list(opts)}")
 
@@ -42,7 +44,9 @@ def main():
     from holo_diffusion_tpu.utils.checkpoint_utils import load_experiment
     from holo_diffusion_tpu.utils.flyaround import render_flyaround
 
-    exp, state = load_experiment(exp_dir, render_size=tuple(render_size))
+    exp, state = load_experiment(
+        exp_dir, render_size=tuple(render_size), use_ema=use_ema
+    )
     model = exp.model
     assert model.net_3d_enabled and model.diffusion_enabled, (
         "generate_samples requires a diffusion model "

@@ -259,12 +259,17 @@ class Experiment:
             )
         return result
 
-    def run_eval_only(self, max_epochs: Optional[int] = None, use_mesh: bool = True):
+    def run_eval_only(self, use_ema: Optional[bool] = None):
         """Evaluation-only mode (training_loop.py:177-193): restore the last
         (or requested) checkpoint, run the novel-view-synthesis evaluator over
-        the held-out scenes, dump json to exp_dir, return the results."""
+        the held-out scenes, dump json to exp_dir, return the results.
+
+        use_ema: evaluate through the EMA parameters (requires a checkpoint
+        trained with ema_rate > 0); None reads the `eval_use_ema` config key."""
         from .evaluation import evaluate_new_view_synthesis
 
+        if use_ema is None:
+            use_ema = bool(self.cfg.get("eval_use_ema", False))
         os.makedirs(self.exp_dir, exist_ok=True)
         state = self.init_state()
         epoch = -1
@@ -283,6 +288,13 @@ class Experiment:
             else:
                 logger.warning("eval_only: no checkpoint found; evaluating "
                                "the freshly initialized model")
+        if use_ema:
+            if state.ema_params is None:
+                raise ValueError(
+                    "eval_use_ema: the checkpoint carries no EMA parameters "
+                    "(train with ema_rate > 0)"
+                )
+            state = state.replace(params=state.ema_params)
         scenes = (self.data.val.scenes or self.data.train.scenes)
         perceptual_fn = None
         lpips_vgg = self.cfg.get("lpips_vgg_weights_path")

@@ -44,4 +44,11 @@ def load_experiment(
     restored, ep = restore_checkpoint(exp_dir, state)
     if restored is None:
         raise FileNotFoundError(f"no checkpoint found in {exp_dir}")
+    if use_ema:
+        if restored.ema_params is None:
+            raise ValueError(
+                f"use_ema requested but {exp_dir} was trained without EMA "
+                "(set ema_rate > 0 in the training config)"
+            )
+        restored = restored.replace(params=restored.ema_params)
     return exp, restored

@@ -154,6 +154,33 @@ def test_experiment_train_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_ema_consumed_at_inference(tmp_path):
+    """ema_rate > 0 tracks an EMA through training AND inference consumes it:
+    load_experiment(use_ema=True) swaps the averaged params in (VERDICT r2 #4;
+    reference surface: guided_diffusion update_ema, nn.py:61-71)."""
+    from holo_diffusion_tpu.utils.checkpoint_utils import load_experiment
+
+    cfg = _tiny_synthetic_cfg(tmp_path)
+    apply_dotted_overrides(cfg, [f"exp_dir={tmp_path}/ema", "ema_rate=0.5"])
+    exp = Experiment(cfg)
+    state, _ = exp.run(max_epochs=1, use_mesh=False)
+    assert state.ema_params is not None
+
+    exp2, raw = load_experiment(str(tmp_path / "ema"))
+    exp3, avg = load_experiment(str(tmp_path / "ema"), use_ema=True)
+    raw_leaf = np.asarray(jax.tree.leaves(raw.params)[0])
+    avg_leaf = np.asarray(jax.tree.leaves(avg.params)[0])
+    ema_leaf = np.asarray(jax.tree.leaves(raw.ema_params)[0])
+    np.testing.assert_allclose(avg_leaf, ema_leaf)
+    assert np.abs(avg_leaf - raw_leaf).max() > 0  # EMA lags the raw params
+
+    # eval_only through EMA params (eval_use_ema config key)
+    res = exp2.run_eval_only(use_ema=True)
+    assert np.isfinite(res["overall"]["psnr"])
+
+
+
+@pytest.mark.slow
 def test_experiment_with_co3d_provider(tmp_path):
     """Config -> CO3D loader -> one training epoch end-to-end on a fake
     CO3Dv2 tree."""

@@ -34,13 +34,17 @@ def main():
     n_flyaround_poses = opts.pop("n_flyaround_poses", 40)
     trajectory_type = opts.pop("trajectory_type", "circular_lsq_fit")
     seed = opts.pop("seed", 0)
+    # render through the EMA parameters (requires training with ema_rate > 0)
+    use_ema = opts.pop("use_ema", False)
     if opts:
         raise ValueError(f"unknown args: {list(opts)}")
 
     from holo_diffusion_tpu.utils.checkpoint_utils import load_experiment
     from holo_diffusion_tpu.utils.flyaround import render_flyaround
 
-    exp, state = load_experiment(exp_dir, render_size=tuple(render_size))
+    exp, state = load_experiment(
+        exp_dir, render_size=tuple(render_size), use_ema=use_ema
+    )
     model = exp.model
     assert not model.diffusion_enabled, (
         "visualize_reconstruction requires a NON-diffusion model "
