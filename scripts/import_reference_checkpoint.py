@@ -22,7 +22,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pth", required=True)
     ap.add_argument("--config-name", default="hydrant.yaml")
@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--exp-dir", required=True)
     ap.add_argument("--epoch", type=int, default=0)
     ap.add_argument("overrides", nargs="*")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     import numpy as np
     import torch

