@@ -125,9 +125,14 @@ def fid_kid_between_image_sets(
     }
 
 
-def vgg_pooled_feature_fn(vgg_variables):
+def vgg_pooled_feature_fn(vgg_variables, min_input_size: int = 64):
     """A ready-made feature_fn: imported-VGG16 relu5_3 features, global
-    average pooled (label resulting numbers "VGG-FID"/"VGG-KID")."""
+    average pooled (label resulting numbers "VGG-FID"/"VGG-KID").
+
+    Inputs smaller than `min_input_size` are bilinearly upsampled first (the
+    standard FID protocol resizes to the extractor's native size; VGG's four
+    2x pools reduce relu5_3 to an EMPTY map below 16 px, which would silently
+    pool to NaN)."""
     import jax
     import jax.numpy as jnp
 
@@ -137,6 +142,10 @@ def vgg_pooled_feature_fn(vgg_variables):
 
     @jax.jit
     def feats(v, x):
+        B, H, W, C = x.shape
+        if min(H, W) < min_input_size:
+            s = max(min_input_size, H, W)
+            x = jax.image.resize(x, (B, s, s, C), "bilinear")
         taps = model.apply(v, x)
         return jnp.mean(taps[-1], axis=(1, 2))
 

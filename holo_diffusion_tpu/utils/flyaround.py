@@ -45,10 +45,12 @@ def simple_360_cameras(
     up=(0.0, 1.0, 0.0),
     at=(0.0, 0.0, 0.0),
     focal: float = 2.0,
+    azimuth_offset: float = 0.0,
 ) -> PerspectiveCameras:
     """Look-at orbit over azimuths with the world rotated so `up` is the pose
-    axis (flyaround.py:301-350)."""
-    azim = jnp.linspace(0.0, 360.0, n_poses, endpoint=False)
+    axis (flyaround.py:301-350). `azimuth_offset` rotates the whole orbit —
+    used by evaluate_samples to decorrelate per-sample pose subsets."""
+    azim = azimuth_offset + jnp.linspace(0.0, 360.0, n_poses, endpoint=False)
     R, T = look_at_view_transform(dist=dist, elev=elevation, azim=azim, at=at)
     up = np.asarray(up, np.float32)
     up = up / np.linalg.norm(up)

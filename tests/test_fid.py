@@ -78,3 +78,48 @@ def test_vgg_feature_fn_shapes():
         fn, batch_size=2,
     )
     assert mu.shape == (512,) and sigma.shape == (512, 512) and feats.shape == (5, 512)
+
+
+@pytest.mark.slow
+def test_evaluate_samples_end_to_end():
+    """The sample-quality pipeline (VERDICT r2 #3): sample grids -> render
+    poses -> FID/KID vs dataset frames, with the random-VGG extractor."""
+    import jax
+
+    from holo_diffusion_tpu.data import make_synthetic_scene
+    from holo_diffusion_tpu.evaluate_samples import evaluate_samples
+    from holo_diffusion_tpu.models.holo_model import HoloDiffusionModel
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_flyaround import TINY
+
+    model = HoloDiffusionModel(**TINY)
+    scenes = [make_synthetic_scene(n_views=3, image_size=12, seed=s)
+              for s in range(2)]
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        camera=scenes[0].camera,
+        image_rgb=scenes[0].image_rgb,
+        fg_probability=scenes[0].fg_probability,
+        mask_crop=scenes[0].mask_crop,
+        training=True,
+        rng=jax.random.PRNGKey(1),
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        dump = os.path.join(td, "sample_eval.json")
+        res = evaluate_samples(
+            model, variables, scenes,
+            num_samples=2, poses_per_sample=2,
+            extractor="random_vgg", rng=jax.random.PRNGKey(2),
+            kid_subset_size=2, dump_path=dump,
+        )
+        assert os.path.exists(dump)
+    assert res["extractor"] == "random_vgg"
+    assert res["n_generated"] == 4
+    assert res["n_real"] == 6  # 2 scenes x 3 views
+    assert np.isfinite(res["random_vgg_fid"]) and res["random_vgg_fid"] >= 0
+    assert np.isfinite(res["random_vgg_kid_mean"])
+    assert res["comparable_to_inception_fid"] is False
