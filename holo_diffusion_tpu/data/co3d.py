@@ -293,7 +293,16 @@ def load_frame_data(
 
 
 class CO3DSceneDataset(SceneDataset):
-    """Lazy per-sequence dataset: scenes loaded on first access, cached."""
+    """Lazy per-sequence dataset: scenes loaded on first access, cached.
+
+    The cache holds HOST (numpy) arrays with an optional LRU bound
+    (`max_cached_scenes`): at the release scale a cached 800^2 sequence is
+    ~600 MB, so caching device arrays (or unboundedly) would exhaust a 16 GB
+    chip / the host long before a real category (~50+ sequences) is covered.
+    Batches are converted to device arrays only at feed time (shard_batch /
+    jit argument transfer) — the analog of the reference's worker-process
+    loaders handing CPU tensors to `net_input.to(device)`
+    (training_loop.py:447-457)."""
 
     def __init__(
         self,
@@ -301,13 +310,17 @@ class CO3DSceneDataset(SceneDataset):
         dataset_root: str,
         load_kwargs: dict,
         max_frames_per_seq: int = -1,
+        max_cached_scenes: int = 16,
     ):
+        from collections import OrderedDict
+
         self._frames_by_seq = frames_by_seq
         self._seq_names = sorted(frames_by_seq)
         self._root = dataset_root
         self._load_kwargs = load_kwargs
         self._max_frames = max_frames_per_seq
-        self._cache: Dict[str, FrameData] = {}
+        self._max_cached = max_cached_scenes
+        self._cache: "OrderedDict[str, FrameData]" = OrderedDict()
 
     def __len__(self):
         return len(self._seq_names)
@@ -330,24 +343,30 @@ class CO3DSceneDataset(SceneDataset):
             }
             self._cache[name] = FrameData(
                 camera=PerspectiveCameras(
-                    R=jnp.asarray(batch["R"]),
-                    T=jnp.asarray(batch["T"]),
-                    focal_length=jnp.asarray(batch["focal_length"]),
-                    principal_point=jnp.asarray(batch["principal_point"]),
+                    R=np.asarray(batch["R"], np.float32),
+                    T=np.asarray(batch["T"], np.float32),
+                    focal_length=np.asarray(batch["focal_length"], np.float32),
+                    principal_point=np.asarray(
+                        batch["principal_point"], np.float32
+                    ),
                 ),
-                image_rgb=jnp.asarray(batch["image_rgb"]),
-                fg_probability=jnp.asarray(batch["fg_probability"]),
-                mask_crop=jnp.asarray(batch["mask_crop"]),
-                depth_map=jnp.asarray(batch["depth_map"]),
-                sequence_id=jnp.full((len(loaded),), idx, jnp.int32),
+                image_rgb=np.asarray(batch["image_rgb"], np.float32),
+                fg_probability=np.asarray(batch["fg_probability"], np.float32),
+                mask_crop=np.asarray(batch["mask_crop"], np.float32),
+                depth_map=np.asarray(batch["depth_map"], np.float32),
+                sequence_id=np.full((len(loaded),), idx, np.int32),
             )
+            if self._max_cached > 0 and len(self._cache) > self._max_cached:
+                self._cache.popitem(last=False)  # evict least-recently used
+        else:
+            self._cache.move_to_end(name)
         return self._cache[name]
 
     def sample_batch(self, rng: np.random.RandomState, batch_size: int) -> FrameData:
         scene = self.get_scene(rng.randint(len(self)))
         n = scene.batch_size
         idx = rng.choice(n, size=batch_size, replace=n < batch_size)
-        return jax.tree.map(lambda x: x[jnp.asarray(idx)], scene)
+        return jax.tree.map(lambda x: np.asarray(x)[idx], scene)
 
 
 class CO3DDataProvider:

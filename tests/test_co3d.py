@@ -164,3 +164,45 @@ def test_co3d_depth_loading(tmp_path):
     Image.fromarray(depth.view(np.uint16), mode="I;16").save(path)
     loaded = _load_depth(path, scale=2.0)
     np.testing.assert_allclose(loaded, depth.astype(np.float32) * 2.0, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_synthetic_co3d_release_format_roundtrip(tmp_path):
+    """The release-scale synthetic writer (data/synthetic_co3d.py) produces a
+    tree the real loader consumes: ndc_norm_image_bounds intrinsics convert +
+    box-crop + resize consistently, depth decodes from f16-in-u16 PNGs, and
+    same-sequence batches work (VERDICT r2 #1 rehearsal substrate)."""
+    from holo_diffusion_tpu.data.synthetic_co3d import write_synthetic_co3d
+
+    root = str(tmp_path)
+    cat = write_synthetic_co3d(
+        root, n_seq=2, n_frames=4, H=180, W=240, seed=3
+    )
+    provider = CO3DDataProvider(
+        category=cat,
+        dataset_root=root,
+        subset_name="fewview_dev",
+        image_height=96,
+        image_width=96,
+        box_crop=True,
+    )
+    assert len(provider.train) == 2
+    scene = provider.train.get_scene(0)
+    n = scene.batch_size
+    assert scene.image_rgb.shape == (n, 96, 96, 3)
+    # depth decoded and positive inside the mask
+    fg = np.asarray(scene.fg_probability[..., 0]) > 0.5
+    d = np.asarray(scene.depth_map[..., 0])
+    assert (d[fg] > 0.1).mean() > 0.9
+    # intrinsics consistency: the projected world origin (sphere center) must
+    # land inside the fg mask on every cropped+resized frame
+    ndc = np.asarray(project_points_ndc(scene.camera, jnp.zeros((n, 1, 3))))
+    for i in range(n):
+        px = int(round((96 - 1) / 2.0 - 48 * ndc[i, 0, 0]))
+        py = int(round((96 - 1) / 2.0 - 48 * ndc[i, 0, 1]))
+        assert 0 <= px < 96 and 0 <= py < 96, (i, px, py)
+        assert fg[i, py, px], (i, px, py)
+    # sphere should fill a decent fraction of the box-cropped frame
+    assert 0.2 < fg.mean() < 0.95
+    batch = provider.train.sample_batch(np.random.RandomState(0), 3)
+    assert len(set(np.asarray(batch.sequence_id).tolist())) == 1
