@@ -611,6 +611,15 @@ def bench_eval_release():
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
         phase = sys.argv[2]
+        if phase.startswith("loader"):
+            # host-pipeline phases must NEVER touch the TPU backend — a
+            # second axon client blocks until the first exits (even with
+            # JAX_PLATFORMS=cpu in env, runtime dispatch can still reach the
+            # registered plugin). The jax.config switch before first backend
+            # use is the reliable recipe (tests/conftest.py).
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         fn = {
             "probe": _probe_device,
             "denoise": bench_denoise_step,

@@ -174,7 +174,19 @@ class VoxelGridImplicitFunction(nn.Module):
 
             A, c = self.render_mlp.density_affine()
             Wr, br = self.render_mlp.radiance_linear()
-            pe_dirs = self.render_mlp.encode_dirs(dirs)
+            # directions are constant along a ray: harmonic-encode the
+            # per-RAY unit dirs and broadcast over P — identical values,
+            # 1/P the sin/cos transcendentals (P=64-128 at release scale)
+            if ray_directions is not None:
+                pe_ray = self.render_mlp.encode_dirs(
+                    _normalize(ray_directions)
+                )
+                pe_dirs = jnp.broadcast_to(
+                    pe_ray[..., None, :],
+                    ray_points_world.shape[:-1] + (pe_ray.shape[-1],),
+                )
+            else:
+                pe_dirs = self.render_mlp.encode_dirs(dirs)
             densities, colour = fused_sample_decode(
                 voxel_grid, A, c, Wr, br, ray_points_world, pe_dirs,
                 extent=self.volume_extent,

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .kron_sample import _hx_lanes, _indices, _wzy
+from .kron_sample import PT_LANES, _hx_lanes, _indices, _wzy
 
 NEG_SLOPE = 0.2  # torch.nn.LeakyReLU(0.2) (custom_modules.py:80-82)
 OUT_LANES = 8  # [density | r | g | b | pad...]
@@ -190,7 +190,8 @@ def _prep(cfg, grid, A, c, Wr, br, points, pe_dirs):
     extent, block_n, hidden, interpret, precision = cfg
     D, H, W, C = grid.shape
     pts, n, n_pad = _pad_rows(
-        jnp.pad(points.astype(jnp.float32), ((0, 0), (0, 125))), block_n
+        jnp.pad(points.astype(jnp.float32), ((0, 0), (0, PT_LANES - 3))),
+        block_n,
     )
     pe, _, _ = _pad_rows(_pad_cols(pe_dirs.astype(jnp.float32), 8), block_n)
     # A: (C, hidden+1) -> pad cols to a lane multiple; c row vector likewise
@@ -222,7 +223,8 @@ def _fused_fwd_impl(cfg, grid, A, c, Wr, br, points, pe_dirs):
         ),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block_n, 128), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((block_n, PT_LANES), lambda i: (i, 0),
+                         memory_space=vm),
             pl.BlockSpec((block_n, pe.shape[1]), lambda i: (i, 0),
                          memory_space=vm),
             pl.BlockSpec(grid_mat.shape, lambda i: (0, 0), memory_space=vm),
@@ -263,7 +265,8 @@ def _fused_bwd(cfg, residuals, g):
         ),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block_n, 128), lambda i: (i, 0), memory_space=vm),
+            pl.BlockSpec((block_n, PT_LANES), lambda i: (i, 0),
+                         memory_space=vm),
             pl.BlockSpec((block_n, pe.shape[1]), lambda i: (i, 0),
                          memory_space=vm),
             pl.BlockSpec((block_n, OUT_LANES), lambda i: (i, 0),
@@ -316,7 +319,7 @@ def fused_sample_decode(
     pe_dirs: jnp.ndarray,
     extent: float,
     hidden: int,
-    block_n: int = 256,
+    block_n: int = 512,
     interpret: bool = False,
     precision: str = "default",
 ):

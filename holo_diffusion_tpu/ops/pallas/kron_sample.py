@@ -166,16 +166,21 @@ def _dpoints_kernel(
             (d_ix * inv_vs)[:, None],
             (d_iy * inv_vs)[:, None],
             (d_iz * inv_vs)[:, None],
-            jnp.zeros((block_n, 125), jnp.float32),
+            jnp.zeros((block_n, PT_LANES - 3), jnp.float32),
         ],
         axis=1,
     )
 
 
+PT_LANES = 8  # xyz + 5 pad lanes — NOT 128: padding points to a full lane
+# tile materialized a 42x-amplified HBM buffer (226 MB per pass at the train
+# point count), measured as part of the ~7 ms non-kernel overhead (round 3)
+
+
 def _pad_points(points_flat, block_n):
     n = points_flat.shape[0]
     n_pad = -n % block_n
-    pts = jnp.pad(points_flat, ((0, n_pad), (0, 125)))
+    pts = jnp.pad(points_flat, ((0, n_pad), (0, PT_LANES - 3)))
     return pts, n, n_pad
 
 
@@ -196,7 +201,7 @@ def _kron_fwd_impl(cfg, grid, points_flat):
         ),
         grid=((n + n_pad) // block_n,),
         in_specs=[
-            pl.BlockSpec((block_n, 128), lambda i: (i, 0),
+            pl.BlockSpec((block_n, PT_LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D * H, W * C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -228,7 +233,7 @@ def _kron_bwd(cfg, residuals, g):
         ),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block_n, 128), lambda i: (i, 0),
+            pl.BlockSpec((block_n, PT_LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, C), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -249,16 +254,16 @@ def _kron_bwd(cfg, residuals, g):
         ),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((block_n, 128), lambda i: (i, 0),
+            pl.BlockSpec((block_n, PT_LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, C), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((D * H, W * C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_n, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((block_n, PT_LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n + n_pad, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n + n_pad, PT_LANES), jnp.float32),
         interpret=interpret,
     )(pts, g_pad, grid.reshape(D * H, W * C))
     d_points = dpts[:n, :3].astype(points_flat.dtype)
@@ -272,7 +277,7 @@ def trilinear_sample_fused(
     grid: jnp.ndarray,
     points: jnp.ndarray,
     extent: float,
-    block_n: int = 256,
+    block_n: int = 512,
     interpret: bool = False,
     precision: str = "highest",
 ) -> jnp.ndarray:
