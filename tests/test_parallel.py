@@ -1,5 +1,7 @@
 """Multi-device tests on the virtual 8-device CPU mesh: SPMD train step,
 gradient psum equivalence, optimizer factory, loss-aware sampler sync."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -399,3 +401,26 @@ def test_ema_params_track_training(setup):
     # eval variables with ema swapped in work
     v = state.ema_variables()
     assert "params" in v
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("HD_TWO_PROC"),
+    reason="2-real-process rehearsal (~7 min on 1 core); run with HD_TWO_PROC=1",
+)
+def test_two_process_rehearsal_script():
+    """scripts/two_process_rehearsal.py: 2 OS processes x 2 virtual devices,
+    jax.distributed + per-process loader shards + _shard_stepped; params must
+    end bit-identical (VERDICT r2 #10)."""
+    import subprocess
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    r = subprocess.run(
+        [sys.executable, "scripts/two_process_rehearsal.py"],
+        capture_output=True, text=True, cwd=repo, timeout=1200,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+    )
+    assert r.returncode == 0, r.stdout[-2000:]
+    assert "params bit-identical OK" in r.stdout
