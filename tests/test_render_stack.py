@@ -180,6 +180,46 @@ def test_implicit_function_shapes_and_normals():
     assert ((norms < 1 + 1e-4)).all()
 
 
+def test_normals_fast_path_matches_autodiff():
+    """The analytic kron-d_points normals (collapsible density net) must be
+    EXACTLY the autodiff-through-sampler normals it replaces."""
+    from unittest import mock
+
+    from holo_diffusion_tpu.models.render_mlp import RenderMLP
+
+    fn = VoxelGridImplicitFunction(
+        resol=8,
+        volume_extent=4.0,
+        n_hidden=16,
+        feature_dim=0,
+        render_normals=True,
+        render_mlp_args=dict(dnet_hidden_dim=32, rnet_hidden_dim=16),
+    )
+    grid = jax.random.normal(jax.random.PRNGKey(0), (8, 8, 8, 16))
+    # keep points off exact voxel-boundary planes (the trilinear gradient has
+    # a measure-zero subgradient ambiguity there, resolved differently by
+    # sign() vs autodiff)
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(1), (2, 5, 7, 3), minval=-0.93, maxval=0.97
+    )
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 3))
+    params = fn.init(jax.random.PRNGKey(3), grid, pts, dirs)
+    assert fn.bind(params).render_mlp.density_net_is_collapsible
+    _, _, aux_fast = fn.apply(params, grid, pts, dirs)
+    with mock.patch.object(
+        RenderMLP,
+        "density_net_is_collapsible",
+        new_callable=mock.PropertyMock,
+        return_value=False,
+    ):
+        _, _, aux_ref = fn.apply(params, grid, pts, dirs)
+    np.testing.assert_allclose(
+        np.asarray(aux_fast["normals"]),
+        np.asarray(aux_ref["normals"]),
+        atol=1e-5,
+    )
+
+
 def test_rasterize_sparse_rays_roundtrip():
     """Splatting dense full-grid xys reproduces the image."""
     from holo_diffusion_tpu.geometry.rays import pixel_grid_ndc
