@@ -73,21 +73,39 @@ def ssim(
     return float(s.mean())
 
 
-def camera_difficulty(scene: FrameData, target_idx: int) -> float:
-    """Difficulty of a held-out view: max cosine similarity between its
-    scene-centered camera-center direction and the remaining cameras'.
+def camera_difficulty(
+    scene: FrameData, target_idx: int, source_idx=None
+) -> float:
+    """Implicitron's `calc_camera_difficulty`: the max cosine between the
+    L2-normalized WORLD camera centers of the target view and the eval
+    batch's SOURCE views (pytorch3d implicitron
+    evaluation/evaluate_new_view_synthesis.py; pytorch3d is not installed in
+    this env to cite line-exactly, formulation recalled from the public
+    source). Values near 1 mean some source camera nearly coincides with the
+    target direction (easy); `camera_difficulty_bin_breaks` 0.97/0.98
+    (reference configs/base.yaml:188-190) bin it.
 
-    This matches the SHAPE of Implicitron's protocol (values near 1 for
-    targets close to a source view; `camera_difficulty_bin_breaks` 0.97/0.98,
-    configs/base.yaml:188-190) but is an independent formulation — Implicitron
-    computes difficulty inside its evaluator from the eval-batch cameras
-    (pytorch3d is not available here to cite line-exactly). Bins are named
-    easy (>= brk[1]) / medium / hard like the CO3D protocol."""
+    source_idx: indices of the batch's source views. Default: every other
+    frame in the scene (the whole-scene fallback used by shape-only tests).
+    """
     centers = np.asarray(camera_centers(scene.camera))
     d = centers / np.maximum(np.linalg.norm(centers, axis=-1, keepdims=True), 1e-8)
-    cos = d @ d[target_idx]
-    cos[target_idx] = -np.inf
+    if source_idx is None:
+        source_idx = [i for i in range(len(centers)) if i != target_idx]
+    cos = d[np.asarray(source_idx)] @ d[target_idx]
     return float(cos.max())
+
+
+def camera_difficulty_bin_edges(bin_breaks=(0.97, 0.98)):
+    """Implicitron's `get_camera_difficulty_bin_edges`: named bins
+    hard [0.5, b0) / medium [b0, b1) / easy [b1, 1+eps). Targets below 0.5
+    fall OUTSIDE every named bin (they still count toward "overall")."""
+    eps = 1e-5
+    b0, b1 = bin_breaks
+    return (
+        [(0.5, b0), (b0, b1), (b1, 1.0 + eps)],
+        ["hard", "medium", "easy"],
+    )
 
 
 def evaluate_new_view_synthesis(
@@ -155,7 +173,7 @@ def evaluate_new_view_synthesis(
             rec = {
                 "seq": si,
                 "target": int(ti),
-                "difficulty": camera_difficulty(scene, int(ti)),
+                "difficulty": camera_difficulty(scene, int(ti), sources),
                 "psnr": float(calc_psnr(jnp.asarray(mse))),
                 "psnr_fg": float(calc_psnr(jnp.asarray(mse_fg))),
                 "ssim": ssim(pred, gt_m),
@@ -173,16 +191,15 @@ def evaluate_new_view_synthesis(
                     )
             records.append(rec)
 
-    # difficulty bins
-    breaks = list(difficulty_bin_breaks)
-    bins: Dict[str, List[Dict]] = {"easy": [], "medium": [], "hard": []}
+    # difficulty bins (Implicitron edge semantics: >= low, < high; targets
+    # with difficulty < 0.5 land in no named bin but count toward "overall")
+    edges, names = camera_difficulty_bin_edges(tuple(difficulty_bin_breaks))
+    bins: Dict[str, List[Dict]] = {name: [] for name in names}
     for r in records:
-        if r["difficulty"] >= breaks[1]:
-            bins["easy"].append(r)
-        elif r["difficulty"] >= breaks[0]:
-            bins["medium"].append(r)
-        else:
-            bins["hard"].append(r)
+        for (lo, hi), name in zip(edges, names):
+            if lo <= r["difficulty"] < hi:
+                bins[name].append(r)
+                break
 
     def agg(rs):
         if not rs:

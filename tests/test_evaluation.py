@@ -43,6 +43,32 @@ def test_camera_difficulty_range():
     scene = make_synthetic_scene(n_views=6, image_size=8)
     d = camera_difficulty(scene, 0)
     assert -1.0 <= d <= 1.0
+    # vs explicit sources: restricting sources can only lower the max-cos
+    d_sub = camera_difficulty(scene, 0, [1, 2])
+    assert d_sub <= d + 1e-7
+
+
+def test_camera_difficulty_bin_edges_protocol():
+    """Implicitron semantics: hard [0.5, b0), medium [b0, b1), easy
+    [b1, 1+eps) — difficulty below 0.5 falls in NO named bin; exactly 1.0
+    is easy; boundary values go to the upper bin (>= low, < high)."""
+    from holo_diffusion_tpu.evaluation import camera_difficulty_bin_edges
+
+    edges, names = camera_difficulty_bin_edges((0.97, 0.98))
+    assert names == ["hard", "medium", "easy"]
+
+    def bin_of(x):
+        for (lo, hi), name in zip(edges, names):
+            if lo <= x < hi:
+                return name
+        return None
+
+    assert bin_of(0.3) is None
+    assert bin_of(0.5) == "hard"
+    assert bin_of(0.969) == "hard"
+    assert bin_of(0.97) == "medium"
+    assert bin_of(0.98) == "easy"
+    assert bin_of(1.0) == "easy"
 
 
 @pytest.mark.slow
