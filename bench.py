@@ -447,6 +447,9 @@ def _release_model():
         render_image_width=512,
         chunk_size_grid=40960,
         scene_extent=4.0,
+        # release default (hydrant.yaml:203): normals on EVERY forward —
+        # served by the analytic kron-d_points fast path (models/implicit.py)
+        render_normals=True,
         net_3d_args=dict(
             model_channels=64, num_res_blocks=2, channel_mult=(1, 1, 2, 4, 8),
             attention_resolutions=(4, 8), num_heads=2,
@@ -456,6 +459,34 @@ def _release_model():
             image_rescale=0.32,
         ),
         render_mlp_args=dict(dnet_hidden_dim=256, rnet_hidden_dim=128),
+    )
+
+
+def _release_init(model, batch):
+    """Jitted model.init at release scale. Un-jitted init dispatches every op
+    individually over the ~30 ms tunnel (measured: >20 min at batch 33@800^2);
+    one compiled program brings it to ~1-2 min including compile."""
+    import jax
+    import jax.numpy as jnp
+
+    def init_fn(rng, camera, image_rgb, fg_probability, mask_crop, rng2):
+        return model.init(
+            rng,
+            camera=camera,
+            image_rgb=image_rgb,
+            fg_probability=fg_probability,
+            mask_crop=mask_crop,
+            training=True,
+            rng=rng2,
+        )
+
+    return jax.jit(init_fn)(
+        jax.random.PRNGKey(0),
+        batch.camera,
+        jnp.asarray(batch.image_rgb),
+        jnp.asarray(batch.fg_probability),
+        jnp.asarray(batch.mask_crop),
+        jax.random.PRNGKey(1),
     )
 
 
@@ -522,16 +553,8 @@ def bench_train_release():
     provider = _release_provider()
     batch = provider.train.sample_batch(np.random.RandomState(0), 33)
     model = _release_model()
-    _log("[bench] init release model ...")
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        camera=batch.camera,
-        image_rgb=jnp.asarray(batch.image_rgb),
-        fg_probability=jnp.asarray(batch.fg_probability),
-        mask_crop=jnp.asarray(batch.mask_crop),
-        training=True,
-        rng=jax.random.PRNGKey(1),
-    )
+    _log("[bench] init release model (jitted) ...")
+    variables = _release_init(model, batch)
     tx = make_optimizer(breed="Adam", lr=4e-5)
     state = TrainState.create(variables, tx)
     K = 2  # steps per dispatch (release step is long enough to amortize)
@@ -567,23 +590,18 @@ def bench_eval_release():
     provider = _release_provider()
     batch = provider.train.sample_batch(np.random.RandomState(0), 9)
     model = _release_model()
-    _log("[bench] init release model (eval) ...")
-    variables = model.init(
-        jax.random.PRNGKey(0),
-        camera=batch.camera,
-        image_rgb=jnp.asarray(batch.image_rgb),
-        fg_probability=jnp.asarray(batch.fg_probability),
-        mask_crop=jnp.asarray(batch.mask_crop),
-        training=True,
-        rng=jax.random.PRNGKey(1),
-    )
-    grid = model.apply(
+    _log("[bench] init release model (eval, jitted) ...")
+    variables = _release_init(model, batch)
+    grid = jax.jit(
+        lambda v, cam, img, fg, mc: model.apply(
+            v, cam, img, fg, mc, method=type(model).encode_eval
+        )
+    )(
         variables,
         batch.camera,
         jnp.asarray(batch.image_rgb),
         jnp.asarray(batch.fg_probability),
         jnp.asarray(batch.mask_crop),
-        method=type(model).encode_eval,
     )
     renderer = make_chunk_renderer(model, variables)
     _log("[bench] compiling chunk renderer + rendering 512^2 ...")

@@ -144,14 +144,27 @@ class Experiment:
         sample = self.data.train.sample_batch(
             np.random.RandomState(self.seed), self.batch_size
         )
-        variables = self.model.init(
+        # jit the init: un-jitted flax init dispatches op-by-op, which over
+        # the TPU tunnel takes >20 min at the release batch scale (33@800^2);
+        # one compiled program runs in ~1-2 min including compile
+        def _init(rng, camera, image_rgb, fg_probability, mask_crop, rng2):
+            return self.model.init(
+                rng,
+                camera=camera,
+                image_rgb=image_rgb,
+                fg_probability=fg_probability,
+                mask_crop=mask_crop,
+                training=True,
+                rng=rng2,
+            )
+
+        variables = jax.jit(_init)(
             jax.random.PRNGKey(self.seed),
-            camera=sample.camera,
-            image_rgb=sample.image_rgb,
-            fg_probability=sample.fg_probability,
-            mask_crop=sample.mask_crop,
-            training=True,
-            rng=jax.random.PRNGKey(self.seed + 1),
+            sample.camera,
+            jnp.asarray(sample.image_rgb),
+            jnp.asarray(sample.fg_probability),
+            jnp.asarray(sample.mask_crop),
+            jax.random.PRNGKey(self.seed + 1),
         )
         n_params = sum(p.size for p in jax.tree.leaves(variables["params"]))
         logger.info(f"model has {n_params / 1e6:.2f}M params")

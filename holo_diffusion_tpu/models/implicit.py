@@ -226,26 +226,29 @@ class VoxelGridImplicitFunction(nn.Module):
             # density MLP under jax.grad (measured: the autodiff path undoes
             # most of the fused-decode win at release eval settings).
             if self.render_mlp.density_net_is_collapsible:
-                from ..ops.pallas.kron_sample import trilinear_sample_fused
+                # direct analytic kernel — NOT jax.grad: nesting grad over
+                # the custom_vjp sampler fails linearization under the outer
+                # train-step grad (the VJP is first-order only). Inputs are
+                # stop_gradient'd inside; normals are visualization-only aux
+                # so no loss gradient is lost (the reference's
+                # create_graph=True normals likewise never reach a loss).
+                from ..ops.pallas.kron_sample import trilinear_point_gradient
 
                 A, c = self.render_mlp.density_affine()
                 g1 = jnp.einsum(
                     "dhwc,c->dhw", voxel_grid, A[:, -1], precision=_HI
                 )[..., None]
-
-                def density_at(p):
-                    return trilinear_sample_fused(
-                        g1, p, self.volume_extent,
-                        interpret=jax.default_backend() != "tpu",
-                        precision=self.sampler_precision,
-                    ).sum()
-
+                grads = trilinear_point_gradient(
+                    g1, ray_points_world, self.volume_extent,
+                    interpret=jax.default_backend() != "tpu",
+                    precision=self.sampler_precision,
+                )
             else:
                 def density_at(p):
                     feats = self._sample(voxel_grid, p)
                     return self.render_mlp.density(feats).sum()
 
-            grads = jax.grad(density_at)(ray_points_world)
+                grads = jax.grad(density_at)(ray_points_world)
             aux["normals"] = _normalize(grads)
 
         features = colour

@@ -300,3 +300,51 @@ def trilinear_sample_fused(
         flat,
     )
     return out.reshape(*shape, grid.shape[-1])
+
+
+def trilinear_point_gradient(
+    grid: jnp.ndarray,
+    points: jnp.ndarray,
+    extent: float,
+    block_n: int = 512,
+    interpret: bool = False,
+    precision: str = "highest",
+) -> jnp.ndarray:
+    """Analytic d/d(points) of ``trilinear_sample_fused(grid, points).sum(-1)``
+    as a DIRECT `_dpoints_kernel` call — no autodiff involved, so it is safe
+    inside an outer `jax.grad` (a nested `jax.grad` over the custom_vjp
+    sampler fails linearization when `grid` is parameter-dependent, because
+    the VJP is first-order only). Inputs are treated as constants
+    (`stop_gradient`): the only consumer is the visualization-only normals
+    aux (models/implicit.py), which no training loss reads.
+
+    grid: (D, H, W, C); points: (..., 3) world xyz. Returns (..., 3) f32.
+    """
+    grid = jax.lax.stop_gradient(grid.astype(jnp.float32))
+    points = jax.lax.stop_gradient(points)
+    D, H, W, C = grid.shape
+    shape = points.shape[:-1]
+    flat = points.reshape(-1, 3).astype(jnp.float32)
+    pts, n, n_pad = _pad_points(flat, block_n)
+    n_blocks = (n + n_pad) // block_n
+    g_ones = jnp.ones((n + n_pad, C), jnp.float32)
+    dpts = pl.pallas_call(
+        functools.partial(
+            _dpoints_kernel, D=D, H=H, W=W, C=C, extent=float(extent),
+            block_n=int(block_n), precision=str(precision),
+        ),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_n, PT_LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D * H, W * C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_n, PT_LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n + n_pad, PT_LANES), jnp.float32),
+        interpret=interpret,
+    )(pts, g_ones, grid.reshape(D * H, W * C))
+    return dpts[:n, :3].reshape(*shape, 3)

@@ -220,6 +220,42 @@ def test_normals_fast_path_matches_autodiff():
     )
 
 
+def test_normals_fast_path_under_outer_grad():
+    """render_normals must not break the train step: differentiating a loss
+    through the implicit function while the collapsible-density normals aux
+    is computed (the release config's every-forward normals) used to fail
+    linearization (nested jax.grad over the first-order custom_vjp sampler)."""
+    fn = VoxelGridImplicitFunction(
+        resol=8,
+        volume_extent=4.0,
+        n_hidden=16,
+        feature_dim=0,
+        render_normals=True,
+        render_mlp_args=dict(dnet_hidden_dim=32, rnet_hidden_dim=16),
+    )
+    grid = jax.random.normal(jax.random.PRNGKey(0), (8, 8, 8, 16))
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(1), (2, 5, 7, 3), minval=-0.9, maxval=0.9
+    )
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 3))
+    params = fn.init(jax.random.PRNGKey(3), grid, pts, dirs)
+
+    def loss(params, grid):
+        dens, feats, aux = fn.apply(params, grid, pts, dirs)
+        return (dens ** 2).mean() + (feats ** 2).mean(), aux
+
+    (val, aux), grads = jax.jit(
+        jax.value_and_grad(loss, argnums=(0, 1), has_aux=True)
+    )(params, grid)
+    assert np.isfinite(float(val))
+    assert aux["normals"].shape == (2, 5, 7, 3)
+    g_leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in g_leaves)
+    # the grid gradient must be nonzero (normals stop_gradient must not
+    # swallow the real loss path)
+    assert float(jnp.abs(grads[1]).sum()) > 0
+
+
 def test_rasterize_sparse_rays_roundtrip():
     """Splatting dense full-grid xys reproduces the image."""
     from holo_diffusion_tpu.geometry.rays import pixel_grid_ndc
