@@ -19,7 +19,7 @@ import json
 import logging
 import os
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,7 @@ class CO3DFrame:
     T: np.ndarray  # (3,)
     focal_length: np.ndarray  # (2,) NDC (isotropic)
     principal_point: np.ndarray  # (2,) NDC (isotropic)
+    mask_mass: Optional[float] = None  # fg pixel count from the annotation
 
 
 def _to_isotropic_ndc(
@@ -90,6 +91,7 @@ def load_frame_annotations(category_root: str) -> List[CO3DFrame]:
                 T=np.asarray(vp["T"], np.float32),
                 focal_length=focal.astype(np.float32),
                 principal_point=pp.astype(np.float32),
+                mask_mass=mask.get("mass"),
             )
         )
     return frames
@@ -370,7 +372,14 @@ class CO3DSceneDataset(SceneDataset):
 
 
 class CO3DDataProvider:
-    """JsonIndexDatasetMapProviderV2 equivalent: category + subset split."""
+    """JsonIndexDatasetMapProviderV2 equivalent: category + subset split.
+
+    Sequence/frame selection knobs follow JsonIndexDataset (reference
+    configs/base.yaml:34-53): `remove_empty_masks` drops frames whose
+    annotation mask mass is 0, `pick_sequence`/`exclude_sequence` filter by
+    sequence name, `limit_sequences_to` keeps the first N (sorted) sequences,
+    and `sort_frames` orders frames within a sequence by
+    (timestamp, frame number) instead of set-list order."""
 
     def __init__(
         self,
@@ -386,12 +395,22 @@ class CO3DDataProvider:
         load_depths: bool = True,
         remove_empty_masks: bool = True,
         n_frames_per_sequence: int = -1,
+        pick_sequence: Sequence[str] = (),
+        exclude_sequence: Sequence[str] = (),
+        limit_sequences_to: int = 0,
+        sort_frames: bool = False,
         **_,
     ):
         category_root = os.path.join(dataset_root, category)
         frames = load_frame_annotations(category_root)
+        if remove_empty_masks:
+            frames = [
+                f for f in frames
+                if f.mask_mass is None or f.mask_mass > 0
+            ]
         by_key = {(f.sequence_name, f.frame_number): f for f in frames}
         set_lists = load_set_lists(category_root, subset_name)
+        pick, exclude = set(pick_sequence), set(exclude_sequence)
 
         load_kwargs = dict(
             image_height=image_height,
@@ -406,9 +425,22 @@ class CO3DDataProvider:
             by_seq: Dict[str, List[CO3DFrame]] = {}
             for entry in set_lists.get(split, []):
                 seq, frame_num = entry[0], entry[1]
+                if pick and seq not in pick:
+                    continue
+                if seq in exclude:
+                    continue
                 f = by_key.get((seq, frame_num))
                 if f is not None:
                     by_seq.setdefault(seq, []).append(f)
+            if limit_sequences_to > 0:
+                by_seq = {
+                    k: by_seq[k] for k in sorted(by_seq)[:limit_sequences_to]
+                }
+            if sort_frames:
+                for seq in by_seq:
+                    by_seq[seq].sort(
+                        key=lambda f: (f.frame_timestamp, f.frame_number)
+                    )
             return CO3DSceneDataset(
                 by_seq, dataset_root, load_kwargs, n_frames_per_sequence
             )

@@ -152,6 +152,59 @@ def test_co3d_provider_loads_fake_dataset(tmp_path):
     assert len(set(np.asarray(batch.sequence_id).tolist())) == 1
 
 
+def test_co3d_sequence_selection_knobs(tmp_path):
+    """JsonIndexDataset selection surface: pick_sequence / exclude_sequence /
+    limit_sequences_to / sort_frames / remove_empty_masks (base.yaml:34-53)."""
+    root = str(tmp_path)
+    cat = _make_fake_co3d(root, n_seq=3, n_frames=3)
+    common = dict(
+        category=cat, dataset_root=root, subset_name="fewview_dev",
+        image_height=32, image_width=32, box_crop=False,
+    )
+    assert len(CO3DDataProvider(**common).train) == 3
+    p = CO3DDataProvider(**common, pick_sequence=["seq_001"])
+    assert len(p.train) == 1 and p.train._seq_names == ["seq_001"]
+    p = CO3DDataProvider(**common, exclude_sequence=["seq_001"])
+    assert p.train._seq_names == ["seq_000", "seq_002"]
+    p = CO3DDataProvider(**common, limit_sequences_to=2)
+    assert p.train._seq_names == ["seq_000", "seq_001"]
+
+    # sort_frames orders by (timestamp, frame_number) even if the set list
+    # is shuffled
+    import gzip as gz
+    import json as js
+
+    sl_path = os.path.join(root, cat, "set_lists", "set_lists_fewview_dev.json")
+    with open(sl_path) as f:
+        sl = js.load(f)
+    sl["train"] = sl["train"][::-1]
+    with open(sl_path, "w") as f:
+        js.dump(sl, f)
+    p = CO3DDataProvider(**common, sort_frames=True)
+    fr = p.train._frames_by_seq["seq_000"]
+    assert [f.frame_number for f in fr] == sorted(f.frame_number for f in fr)
+    p = CO3DDataProvider(**common, sort_frames=False)
+    fr = p.train._frames_by_seq["seq_000"]
+    assert [f.frame_number for f in fr] == sorted(
+        (f.frame_number for f in fr), reverse=True
+    )
+
+    # remove_empty_masks: zero the mass of one frame's annotation
+    anno_path = os.path.join(root, cat, "frame_annotations.jgz")
+    with gz.open(anno_path, "rt") as f:
+        annos = js.load(f)
+    for a in annos:
+        a["mask"]["mass"] = 0 if (
+            a["sequence_name"] == "seq_000" and a["frame_number"] == 0
+        ) else 100
+    with gz.open(anno_path, "wt") as f:
+        js.dump(annos, f)
+    p = CO3DDataProvider(**common, remove_empty_masks=True)
+    assert len(p.train._frames_by_seq["seq_000"]) == 2
+    p = CO3DDataProvider(**common, remove_empty_masks=False)
+    assert len(p.train._frames_by_seq["seq_000"]) == 3
+
+
 def test_co3d_depth_loading(tmp_path):
     """CO3D stores float16 depth bits in uint16 PNGs — exercise the decode."""
     import gzip
