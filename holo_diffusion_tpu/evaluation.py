@@ -159,8 +159,15 @@ def evaluate_new_view_synthesis(
                 image_height=H, image_width=W,
                 chunk_renderer=chunk_renderer,
             )
+            # GT frames may arrive in compact storage dtypes (uint8 image /
+            # mask, f16 depth) from the host scene cache — normalize host-side
             gt = np.asarray(scene.image_rgb[ti])
-            fg = np.asarray(scene.fg_probability[ti, ..., 0]) > model.mask_threshold
+            if gt.dtype == np.uint8:
+                gt = gt.astype(np.float32) / 255.0
+            fg_prob = np.asarray(scene.fg_probability[ti, ..., 0])
+            if fg_prob.dtype == np.uint8:
+                fg_prob = fg_prob.astype(np.float32) / 255.0
+            fg = fg_prob > model.mask_threshold
             # white-composite gt like preprocess_input
             gt_m = np.where(fg[..., None], gt, 1.0)
             pred = out["images_render"]
@@ -183,7 +190,7 @@ def evaluate_new_view_synthesis(
                 ),
             }
             if scene.depth_map is not None:
-                d_gt = np.asarray(scene.depth_map[ti, ..., 0])
+                d_gt = np.asarray(scene.depth_map[ti, ..., 0], np.float32)
                 valid = (d_gt > 0) & fg
                 if valid.sum() > 0:
                     rec["depth_abs_fg"] = float(

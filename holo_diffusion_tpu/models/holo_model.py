@@ -40,7 +40,12 @@ from ..ops.voxel import voxel_coord_grid
 from . import diffusion as gd
 from .feature_extractor import ResNetFeatureExtractor
 from .implicit import VoxelGridImplicitFunction
-from .metrics import get_objective, multipass_view_metrics, preprocess_input
+from .metrics import (
+    as_unit_float,
+    get_objective,
+    multipass_view_metrics,
+    preprocess_input,
+)
 from .renderer import multipass_ea_render
 from .unet3d import UNetModel3D
 from .view_pooler import ViewPooler
@@ -186,6 +191,9 @@ class HoloDiffusionModel(nn.Module):
         image_rgb: (S, H, W, 3) SOURCE views (already preprocessed);
         Returns (resol, resol, resol, feature_size) in [-1, 1] (tanh).
         """
+        image_rgb = as_unit_float(image_rgb)
+        fg_probability = as_unit_float(fg_probability)
+        mask_crop = as_unit_float(mask_crop)
         img_feats = self.image_feature_extractor(image_rgb, fg_probability)
         pts = voxel_coord_grid(self.resol, self.volume_extent).reshape(-1, 3)
         pooled = self.view_pooler(img_feats, cameras, pts, mask_crop)  # (N, F)
@@ -418,6 +426,7 @@ class HoloDiffusionModel(nn.Module):
             self.mask_threshold,
             self.bg_color,
         )
+        mask_crop = as_unit_float(mask_crop)
 
         batch_size = camera.batch_size
         if training:

@@ -15,6 +15,20 @@ import jax.numpy as jnp
 from ..ops.image import bilinear_sample_ndc
 
 
+def as_unit_float(x: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    """Normalize loader dtypes at the model boundary: uint8 -> f32/255,
+    anything else non-f32 (e.g. f16 depth) -> f32. The host scene cache can
+    then hold compact uint8 frames (4x less RAM + H2D transfer; the convert
+    runs on-device inside the jit). No-op for float32 inputs."""
+    if x is None:
+        return None
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    if x.dtype != jnp.float32:
+        return x.astype(jnp.float32)
+    return x
+
+
 def preprocess_input(
     image_rgb: Optional[jnp.ndarray],
     fg_probability: Optional[jnp.ndarray],
@@ -27,7 +41,12 @@ def preprocess_input(
     """Mask images/depths with thresholded fg (white background).
 
     image_rgb: (B, H, W, 3); fg_probability: (B, H, W, 1); depth: (B, H, W, 1).
+    Inputs may arrive as uint8 (image/fg) or float16 (depth) from the compact
+    host cache — normalized here (see as_unit_float).
     """
+    image_rgb = as_unit_float(image_rgb)
+    fg_probability = as_unit_float(fg_probability)
+    depth_map = as_unit_float(depth_map)
     fg_mask = None
     if fg_probability is not None:
         fg_mask = (fg_probability > mask_threshold).astype(jnp.float32)

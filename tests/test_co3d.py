@@ -144,7 +144,10 @@ def test_co3d_provider_loads_fake_dataset(tmp_path):
         px = int(round((64 - 1) / 2.0 - 32 * x))
         py = int(round((64 - 1) / 2.0 - 32 * y))
         assert 0 <= px < 64 and 0 <= py < 64
-        assert float(scene.fg_probability[i, py, px, 0]) > 0.5, (i, px, py)
+        fg_val = float(scene.fg_probability[i, py, px, 0])
+        if scene.fg_probability.dtype == np.uint8:
+            fg_val /= 255.0
+        assert fg_val > 0.5, (i, px, py)
 
     # same-sequence batches
     batch = provider.train.sample_batch(np.random.RandomState(0), 3)
@@ -203,6 +206,43 @@ def test_co3d_sequence_selection_knobs(tmp_path):
     assert len(p.train._frames_by_seq["seq_000"]) == 2
     p = CO3DDataProvider(**common, remove_empty_masks=False)
     assert len(p.train._frames_by_seq["seq_000"]) == 3
+
+
+def test_co3d_compact_cache(tmp_path):
+    """Default compact cache stores native dtypes (u8 image/mask, f16 depth)
+    and matches the f32 cache to u8 quantization (<= 0.5/255); the model
+    boundary (metrics.as_unit_float) normalizes back to unit floats."""
+    from holo_diffusion_tpu.models.metrics import as_unit_float
+
+    root = str(tmp_path)
+    cat = _make_fake_co3d(root)
+    kwargs = dict(
+        category=cat, dataset_root=root, subset_name="fewview_dev",
+        image_height=48, image_width=48, box_crop=True,
+    )
+    compact = CO3DDataProvider(**kwargs).train.get_scene(0)
+    full = CO3DDataProvider(compact_cache=False, **kwargs).train.get_scene(0)
+
+    assert compact.image_rgb.dtype == np.uint8
+    assert compact.fg_probability.dtype == np.uint8
+    assert compact.mask_crop.dtype == np.uint8
+    assert compact.depth_map.dtype == np.float16
+    assert full.image_rgb.dtype == np.float32
+
+    np.testing.assert_allclose(
+        compact.image_rgb.astype(np.float32) / 255.0,
+        full.image_rgb, atol=0.5 / 255.0 + 1e-6,
+    )
+    np.testing.assert_allclose(
+        compact.depth_map.astype(np.float32), full.depth_map, rtol=1e-3,
+        atol=1e-3,
+    )
+    # model-boundary normalization recovers unit-float semantics
+    img = np.asarray(as_unit_float(jnp.asarray(compact.image_rgb)))
+    assert img.dtype == np.float32 and img.max() <= 1.0
+    np.testing.assert_allclose(img, full.image_rgb, atol=0.5 / 255.0 + 1e-6)
+    crop = np.asarray(as_unit_float(jnp.asarray(compact.mask_crop)))
+    np.testing.assert_allclose(crop, full.mask_crop, atol=1e-6)
 
 
 def test_co3d_depth_loading(tmp_path):
