@@ -44,6 +44,16 @@ def make_chunk_renderer(model: HoloDiffusionModel, variables):
     return lambda voxel_grid, bundle: fn(variables, voxel_grid, bundle)
 
 
+# Measured on v5e (see render_image_chunked docstring): the smallest chunk on
+# the compute-bound plateau. Dispatch overhead amortizes ~100x vs the
+# reference's 640-ray chunks while per-chunk memory stays tiny.
+_TPU_MIN_RAYS_PER_CHUNK = 2560
+
+
+def _on_accelerator() -> bool:
+    return jax.default_backend() != "cpu"
+
+
 def render_image_chunked(
     model: HoloDiffusionModel,
     variables,
@@ -53,17 +63,37 @@ def render_image_chunked(
     image_width: Optional[int] = None,
     chunk_size_grid: Optional[int] = None,
     chunk_renderer=None,
+    chunk_autoscale: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Render one camera densely in ray chunks.
 
     voxel_grid: (r, r, r, C). Returns dict of (H, W, c) numpy images
     (images/depths/masks[/normals]_render).
+
+    `chunk_size_grid` (reference semantics: max points per chunk,
+    GenericModel's chunked eval / hydrant.yaml:112) is a CUDA-memory bound.
+    On TPU the same bound is dispatch-suicide: 40960 pts -> 640-ray chunks ->
+    ~410 programs per 512^2 image over a ~20 ms-latency transport. When the
+    chunk size comes from model config (not the explicit argument) and we are
+    on an accelerator backend, `chunk_autoscale` raises the chunk to at least
+    `_TPU_MIN_RAYS_PER_CHUNK` rays — swept on a v5e at the release eval scale
+    (two-pass 64+64 pts, normals on, 512^2):
+
+        rays/chunk   640   2560   8192   16384  32768  65536
+        s/image      5.42  2.54   2.55   2.79   2.66   2.85
+
+    2560 rays saturates the chip (~103k rays/s, compute-bound plateau); the
+    measured default stays modest so per-chunk memory keeps far from HBM
+    limits at larger `n_pts_per_ray_evaluation`. Pass `chunk_size_grid`
+    explicitly or `chunk_autoscale=False` for exact reference chunking.
     """
     H = image_height or model.render_image_height
     W = image_width or model.render_image_width
     n_pts = model.n_pts_per_ray_evaluation
     chunk_size = chunk_size_grid or model.chunk_size_grid or (H * W * n_pts)
     rays_per_chunk = max(chunk_size // max(n_pts, 1), 1)
+    if chunk_autoscale and chunk_size_grid is None and _on_accelerator():
+        rays_per_chunk = max(rays_per_chunk, min(_TPU_MIN_RAYS_PER_CHUNK, H * W))
 
     bundle = sample_rays_full_grid(
         camera[:1], H, W, n_pts, model.scene_center, model.scene_extent

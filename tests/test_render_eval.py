@@ -55,6 +55,55 @@ def test_chunked_matches_unchunked():
     )
 
 
+def test_chunk_autoscale_policy(monkeypatch):
+    """On accelerator backends, config-derived chunks are raised to the
+    measured TPU minimum; explicit chunk_size_grid and CPU are untouched."""
+    import holo_diffusion_tpu.render_eval as re_mod
+
+    calls = []
+
+    scene = make_synthetic_scene(n_views=2, image_size=12)
+    model = HoloDiffusionModel(chunk_size_grid=5 * 8, **TINY)
+    grid = jnp.clip(jax.random.normal(jax.random.PRNGKey(0), (4, 4, 4, 32)), -1, 1)
+    variables = model.init(
+        jax.random.PRNGKey(1),
+        camera=scene.camera[:1],
+        voxel_features=grid[None],
+        training=False,
+    )
+    renderer = re_mod.make_chunk_renderer(model, variables)
+
+    def spy_renderer(voxel_grid, bundle):
+        calls.append(bundle.lengths.shape[1])
+        return renderer(voxel_grid, bundle)
+
+    # CPU backend (the test env): config chunking honored exactly (5 rays)
+    calls.clear()
+    render_image_chunked(model, variables, scene.camera, grid,
+                         chunk_renderer=spy_renderer)
+    assert calls and calls[0] == 5
+
+    # pretend accelerator: config-derived chunk is autoscaled up
+    monkeypatch.setattr(re_mod, "_on_accelerator", lambda: True)
+    calls.clear()
+    render_image_chunked(model, variables, scene.camera, grid,
+                         chunk_renderer=spy_renderer)
+    # bump is capped at the image size: whole 12x12 image in one chunk
+    assert calls == [144]
+
+    # explicit argument stays exact even on accelerator
+    calls.clear()
+    render_image_chunked(model, variables, scene.camera, grid,
+                         chunk_size_grid=5 * 8, chunk_renderer=spy_renderer)
+    assert calls and calls[0] == 5
+
+    # opt-out flag restores reference chunking
+    calls.clear()
+    render_image_chunked(model, variables, scene.camera, grid,
+                         chunk_autoscale=False, chunk_renderer=spy_renderer)
+    assert calls and calls[0] == 5
+
+
 def test_sharded_render_matches_single_device():
     from holo_diffusion_tpu.parallel import make_mesh
     from holo_diffusion_tpu.render_eval import render_image_sharded
