@@ -638,6 +638,18 @@ def main():
             import jax
 
             jax.config.update("jax_platforms", "cpu")
+        else:
+            # Persistent compile cache: release-scale compiles cost 10-19 min
+            # over the TPU tunnel; cached re-runs of the same phase start in
+            # seconds (also shared with scripts/release_rehearsal.py).
+            import jax
+
+            jax.config.update(
+                "jax_compilation_cache_dir", "/tmp/jax_compile_cache"
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 10.0
+            )
         fn = {
             "probe": _probe_device,
             "denoise": bench_denoise_step,
