@@ -574,6 +574,56 @@ def bench_train_release():
     return K / dt
 
 
+def bench_train_release_e2e():
+    """The REAL training loop at release scale, steady state: host
+    sample_batch (LRU scene cache) -> compact-source preprocess (mask +
+    0.32x rescale on the host CPU backend) -> AsyncLoader worker H2D ->
+    device train step -> per-step metric fetch. This is the number a user
+    actually trains at — bench_train_release is the device-step ceiling
+    (same batch replayed from device memory). Returns steps/sec."""
+    import jax
+    import numpy as np
+
+    from holo_diffusion_tpu.data.compact import SourceCompactor
+    from holo_diffusion_tpu.data.source import AsyncLoader
+    from holo_diffusion_tpu.parallel import TrainState, make_train_step
+    from holo_diffusion_tpu.train import make_optimizer
+
+    provider = _release_provider()
+    model = _release_model()
+    batch = provider.train.sample_batch(np.random.RandomState(0), 33)
+    _log("[bench] init release model (jitted) ...")
+    variables = _release_init(model, batch)
+    tx = make_optimizer(breed="Adam", lr=4e-5)
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, mesh=None, donate=True)
+    comp = SourceCompactor.from_model(model, drop_depth=True)
+
+    N_WARM, N = 4, 16
+
+    def gen():
+        for i in range(N_WARM + N):
+            yield comp(
+                provider.train.sample_batch(np.random.RandomState(i), 33)
+            )
+
+    _log("[bench] compiling + warming the e2e loop ...")
+    rng = jax.random.PRNGKey(2)
+    it = iter(AsyncLoader(gen(), prefetch=2, transfer=jax.device_put))
+    t0 = None
+    done = 0
+    for b in it:
+        rng, r = jax.random.split(rng)
+        state, metrics = step(state, b, r)
+        float(metrics["objective"])  # the real loop fetches metrics per step
+        done += 1
+        if done == N_WARM:
+            t0 = time.perf_counter()
+    dt = time.perf_counter() - t0
+    _log(f"[bench] e2e steady state: {N} steps in {dt:.2f}s")
+    return N / dt
+
+
 def bench_eval_release():
     """Release-scale chunked eval render: one 512^2 novel view through
     render_image_chunked (chunk_size_grid 40960, hydrant.yaml:103-112).
@@ -659,6 +709,7 @@ def main():
             "loader_cold": bench_loader_cold,
             "loader_sustained": bench_loader_sustained,
             "train_release": bench_train_release,
+            "train_release_e2e": bench_train_release_e2e,
             "eval_release": bench_eval_release,
         }[phase]
         out = fn()
@@ -689,6 +740,7 @@ def main():
     loader_cold = _run_phase("loader_cold", 900, env=cpu_env)
     loader_sustained = _run_phase("loader_sustained", 900, env=cpu_env)
     train_release = _run_phase("train_release", 3000)
+    train_release_e2e = _run_phase("train_release_e2e", 3000)
     eval_release = _run_phase("eval_release", 2400)
     print(
         json.dumps(
@@ -709,6 +761,9 @@ def main():
                     ),
                     "train_steps_per_sec_release": (
                         round(train_release, 3) if train_release else None
+                    ),
+                    "train_steps_per_sec_release_e2e": (
+                        round(train_release_e2e, 3) if train_release_e2e else None
                     ),
                     "loader_frames_per_sec_cold": (
                         round(loader_cold, 2) if loader_cold else None

@@ -1,0 +1,179 @@
+"""Compact-source batches: host-side preprocess + rescale of pooling sources.
+
+The training batch is `n_targets` render targets + S pooling sources (the
+reference feeds ALL frames to the device at full resolution and rescales the
+sources inside the feature extractor, resnet.py image_rescale — a reasonable
+layout over CUDA-local PCIe). On a host-fed TPU the full-res batch is the
+bottleneck: at the release scale (33 @ 800^2, hydrant.yaml) a step's H2D is
+~147 MB while the device step itself is ~0.35 s, so the wire — not the MXU —
+paces real training. Only the targets need full resolution (the photometric
+loss samples ground truth at per-ray positions, metrics.py:_sample_at_rays);
+the sources are consumed by the ResNet extractor AFTER a 0.32x rescale.
+
+This module moves the source-side preprocessing (fg binarize + white-bg
+composite, feature_extractor rescale) to the HOST, before transfer, using the
+SAME `resize_image` kernel the extractor applies — jitted onto the CPU
+backend so the resize is kernel-exact vs the device path — then re-quantizes
+to uint8. Per-step H2D at release scale drops ~147 MB -> ~30 MB.
+
+Approximation note (documented, opt-in via the `compact_sources` config key):
+the extractor also exposes its raw input "images"/"masks" to the view sampler
+at input resolution (feature_extractor.py:99-102); in compact mode those 4 of
+68 pooled channels are sampled from the 0.32x-prefiltered maps instead of the
+full-res originals, and u8 re-quantization adds <=0.2% per-pixel error. The
+ResNet feature channels are exact modulo that quantization.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.image import resize_image
+from .frame_data import FrameData
+
+
+def _to_unit_f32_np(x) -> Optional[np.ndarray]:
+    """Host mirror of models.metrics.as_unit_float (u8 -> f32/255)."""
+    if x is None:
+        return None
+    x = np.asarray(x)
+    if x.dtype == np.uint8:
+        return x.astype(np.float32) / 255.0
+    return x.astype(np.float32)
+
+
+def _quantize_u8(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(jnp.round(x * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "out_h", "out_w", "mask_images", "mask_threshold", "bg_color",
+        "has_fg", "has_mc",
+    ),
+)
+def _compact_kernel(
+    img, fg, mc, *, out_h, out_w, mask_images, mask_threshold, bg_color,
+    has_fg, has_mc,
+):
+    """Source preprocess exactly as the device path orders it
+    (holo_model.__call__ preprocess_input -> extractor resize): binarize fg,
+    composite onto bg_color, THEN rescale. f32 in, u8 out."""
+    fg_out = mc_out = None
+    if has_fg:
+        fg_bin = (fg > mask_threshold).astype(jnp.float32)
+        if mask_images:
+            bg = jnp.asarray(bg_color, jnp.float32)
+            img = img * fg_bin + bg * (1.0 - fg_bin)
+        fg_out = _quantize_u8(resize_image(fg_bin, out_h, out_w))
+    img_out = _quantize_u8(resize_image(img, out_h, out_w))
+    if has_mc:
+        mc_out = _quantize_u8(resize_image(mc, out_h, out_w))
+    return img_out, fg_out, mc_out
+
+
+class SourceCompactor:
+    """Callable batch transform: FrameData -> compact FrameData.
+
+    Runs on the host CPU backend (safe to call from the AsyncLoader worker
+    thread while the TPU computes). `n_train_target_views`, masking params and
+    `image_rescale` must mirror the model config — build via `from_model`.
+    """
+
+    def __init__(
+        self,
+        n_train_target_views: int,
+        image_rescale: float,
+        mask_images: bool,
+        mask_threshold: float,
+        bg_color,
+        drop_depth: bool = False,
+    ):
+        self.n_train_target_views = n_train_target_views
+        self.image_rescale = float(image_rescale)
+        self.mask_images = bool(mask_images)
+        self.mask_threshold = float(mask_threshold)
+        self.bg_color = tuple(float(c) for c in np.asarray(bg_color).reshape(-1))
+        self.drop_depth = bool(drop_depth)
+        self._cpu = jax.devices("cpu")[0]
+
+    @classmethod
+    def from_model(cls, model, drop_depth: bool = False) -> "SourceCompactor":
+        rescale = (model.image_feature_extractor_args or {}).get(
+            "image_rescale", 0.32
+        )
+        return cls(
+            n_train_target_views=model.n_train_target_views,
+            image_rescale=rescale,
+            mask_images=model.mask_images,
+            mask_threshold=model.mask_threshold,
+            bg_color=model.bg_color,
+            drop_depth=drop_depth,
+        )
+
+    def n_targets(self, batch_size: int) -> int:
+        """Mirror holo_model.__call__'s training split exactly."""
+        nt = (
+            batch_size
+            if self.n_train_target_views <= 0
+            else min(self.n_train_target_views, batch_size)
+        )
+        if batch_size <= nt:
+            nt = 1
+        return nt
+
+    def __call__(self, batch: FrameData) -> FrameData:
+        if batch.image_rgb is None or batch.src_image_rgb is not None:
+            return batch  # nothing to compact / already compact
+        B = batch.batch_size
+        nt = self.n_targets(B)
+        if B <= nt:
+            return batch  # no separate sources to compact
+        img = _to_unit_f32_np(np.asarray(batch.image_rgb)[nt:])
+        fg = (
+            None
+            if batch.fg_probability is None
+            else _to_unit_f32_np(np.asarray(batch.fg_probability)[nt:])
+        )
+        mc = (
+            None
+            if batch.mask_crop is None
+            else _to_unit_f32_np(np.asarray(batch.mask_crop)[nt:])
+        )
+        H, W = img.shape[1:3]
+        out_h = int(H * self.image_rescale)  # extractor's exact arithmetic
+        out_w = int(W * self.image_rescale)
+        with jax.default_device(self._cpu):
+            img_c, fg_c, mc_c = _compact_kernel(
+                img,
+                jnp.zeros((1, 1, 1, 1)) if fg is None else fg,
+                jnp.zeros((1, 1, 1, 1)) if mc is None else mc,
+                out_h=out_h,
+                out_w=out_w,
+                mask_images=self.mask_images,
+                mask_threshold=self.mask_threshold,
+                bg_color=self.bg_color,
+                has_fg=fg is not None,
+                has_mc=mc is not None,
+            )
+
+        def tgt(x):
+            return None if x is None else np.asarray(x)[:nt]
+
+        return FrameData(
+            camera=batch.camera,  # all frames' cameras, targets first
+            image_rgb=tgt(batch.image_rgb),
+            fg_probability=tgt(batch.fg_probability),
+            mask_crop=tgt(batch.mask_crop),
+            depth_map=None if self.drop_depth else tgt(batch.depth_map),
+            sequence_id=batch.sequence_id,
+            frame_timestamp=batch.frame_timestamp,
+            src_image_rgb=np.asarray(img_c),
+            src_fg_probability=None if fg_c is None else np.asarray(fg_c),
+            src_mask_crop=None if mc_c is None else np.asarray(mc_c),
+        )

@@ -27,12 +27,25 @@ class FrameData:
     depth_map: Optional[jnp.ndarray] = None  # (B, H, W, 1)
     sequence_id: Optional[jnp.ndarray] = None  # (B,) int32
     frame_timestamp: Optional[jnp.ndarray] = None  # (B,)
+    # Compact-source mode (data/compact.py): when set, image_rgb/fg/mask_crop/
+    # depth hold ONLY the n_targets render-target frames at full resolution,
+    # and these hold the pooling-source frames pre-masked + pre-rescaled to
+    # the feature extractor's input resolution (u8). `camera` still covers all
+    # n_targets + n_sources frames, targets first. Cuts per-step H2D ~5x at
+    # the release scale (33 @ 800^2 -> 6 @ 800^2 + 27 @ 256^2).
+    src_image_rgb: Optional[jnp.ndarray] = None  # (S, h, w, 3) u8
+    src_fg_probability: Optional[jnp.ndarray] = None  # (S, h, w, 1) u8
+    src_mask_crop: Optional[jnp.ndarray] = None  # (S, h, w, 1) u8
 
     @property
     def batch_size(self) -> int:
         return self.camera.batch_size
 
     def __getitem__(self, idx) -> "FrameData":
+        assert self.src_image_rgb is None, (
+            "cannot frame-index a compact batch: targets and sources have "
+            "different leading dims (slice before data.compact.compact_sources)"
+        )
         if isinstance(idx, int):
             idx = slice(idx, idx + 1)
         return jax.tree.map(lambda x: x[idx], self)

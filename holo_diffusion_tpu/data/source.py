@@ -86,6 +86,7 @@ def device_batched_loader(
     n_devices: int,
     process_index: int = 0,
     process_count: int = 1,
+    transform=None,
 ) -> Iterator[FrameData]:
     """Stacks same-sequence batches along a leading device axis for the SPMD
     train step (one scene per device).
@@ -97,6 +98,10 @@ def device_batched_loader(
     global device index), so every process agrees on the global batch without
     building it — the reference instead gives every DDP rank its own seed
     stream (experiment.py:167); here determinism is global by construction.
+
+    transform: optional per-scene-batch FrameData transform (e.g. the
+    compact-source preprocessor, data/compact.py) applied BEFORE the device
+    stack, so it sees plain (B, ...) batches.
     """
     assert n_devices % process_count == 0, (n_devices, process_count)
     local = n_devices // process_count
@@ -115,6 +120,8 @@ def device_batched_loader(
             )
             for d in range(local)
         ]
+        if transform is not None:
+            batches = [transform(b) for b in batches]
         yield jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
 
 
@@ -124,7 +131,12 @@ class AsyncLoader:
     configs/base.yaml:61): overlap host-side decode/crop/collate (incl. the
     native C++ kernels, which release the GIL) with device steps."""
 
-    def __init__(self, iterator, prefetch: int = 2):
+    def __init__(self, iterator, prefetch: int = 2, transfer=None):
+        """transfer: optional fn applied to each item IN the worker thread —
+        pass `jax.device_put` (or a mesh shard_batch closure) to overlap the
+        host->device copy with the device step running on the main thread.
+        jax dispatch is thread-safe; the queue then holds device-committed
+        batches and the main loop never blocks on H2D."""
         import queue
         import threading
 
@@ -134,6 +146,8 @@ class AsyncLoader:
         def worker():
             try:
                 for item in iterator:
+                    if transfer is not None:
+                        item = transfer(item)
                     self._q.put(item)
             except BaseException as e:  # noqa: BLE001
                 self._err = e

@@ -341,6 +341,31 @@ class Experiment:
         # dispatch latency; our extension, default 1)
         steps_per_dispatch = max(1, int(self.cfg.get("steps_per_dispatch", 1)))
 
+        # compact-source batches (our extension, data/compact.py): host-side
+        # mask+rescale of the pooling sources before transfer — the release
+        # batch (33 @ 800^2) is ~147 MB/step of which only the n_targets
+        # render-target frames need full resolution; compaction cuts H2D ~5x
+        compactor = None
+        if self.cfg.get("compact_sources", False):
+            from .data.compact import SourceCompactor
+
+            drop_depth = self.cfg.get("compact_drop_depth", "auto")
+            if drop_depth == "auto":
+                # depth is safe to drop when no depth term is in the objective
+                from .models.holo_model import DEFAULT_LOSS_WEIGHTS
+
+                weights = (
+                    self.model.loss_weights
+                    if self.model.loss_weights is not None
+                    else DEFAULT_LOSS_WEIGHTS
+                )
+                drop_depth = not any(
+                    "depth" in k and w != 0.0 for k, w in weights.items()
+                )
+            compactor = SourceCompactor.from_model(
+                self.model, drop_depth=bool(drop_depth)
+            )
+
         state = self.init_state()
         log_vars = _model_cfg_log_vars(self.cfg)
         stats = Stats.load_or_new(
@@ -411,12 +436,15 @@ class Experiment:
                     n_host_batches * steps_per_dispatch, self.seed + epoch, n_dev,
                     process_index=jax.process_index(),
                     process_count=jax.process_count(),
+                    transform=compactor,  # compacts BEFORE the device stack
                 )
             else:
                 loader = epoch_loader(
                     self.data.train, self.batch_size,
                     n_host_batches * steps_per_dispatch, self.seed + epoch,
                 )
+                if compactor is not None:
+                    loader = map(compactor, loader)
 
             def _group_steps(it):
                 """Stack steps_per_dispatch batches on a leading step axis."""
@@ -438,14 +466,24 @@ class Experiment:
                         f"{len(group)} < {steps_per_dispatch} batches"
                     )
 
-            for it, batch in enumerate(AsyncLoader(_group_steps(loader))):
-                if mesh is not None:
-                    batch = shard_batch(
-                        batch, mesh,
-                    ) if steps_per_dispatch == 1 else _shard_stepped(batch, mesh)
+            # the worker thread also performs the H2D placement (sharded under
+            # a mesh, plain device_put otherwise) so the copy of batch N+1
+            # overlaps the device step on batch N
+            if mesh is not None:
+                transfer = (
+                    (lambda b: shard_batch(b, mesh))
+                    if steps_per_dispatch == 1
+                    else (lambda b: _shard_stepped(b, mesh))
+                )
+            else:
+                transfer = jax.device_put
+
+            for it, batch in enumerate(
+                AsyncLoader(_group_steps(loader), transfer=transfer)
+            ):
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = train_step(state, batch, step_rng)
-                stats.update({k: v for k, v in metrics.items()}, "train")
+                stats.update(jax.device_get(metrics), "train")
                 if print_interval and it % print_interval == 0:
                     logger.info(stats.status_line("train"))
 

@@ -93,7 +93,16 @@ class ResNetFeatureExtractor(nn.Module):
         return d
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, masks=None, train: bool = False):
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        masks=None,
+        train: bool = False,
+        rescale_done: bool = False,
+    ):
+        """rescale_done: the caller already resized `images` to
+        int(H_orig * image_rescale) on the host (compact-source batches,
+        data/compact.py) — skip the on-device resize."""
         B, H, W, _ = images.shape
         out: Dict[str, jnp.ndarray] = {}
         if self.add_images:
@@ -102,7 +111,7 @@ class ResNetFeatureExtractor(nn.Module):
             out["masks"] = masks
 
         x = images
-        if self.image_rescale != 1.0:
+        if self.image_rescale != 1.0 and not rescale_done:
             x = resize_image(
                 x, int(H * self.image_rescale), int(W * self.image_rescale)
             )

@@ -185,16 +185,21 @@ class HoloDiffusionModel(nn.Module):
         cameras: PerspectiveCameras,
         fg_probability: Optional[jnp.ndarray] = None,
         mask_crop: Optional[jnp.ndarray] = None,
+        prerescaled: bool = False,
     ) -> jnp.ndarray:
         """Views -> voxel grid (holo_diffusion_model.py:327-374).
 
         image_rgb: (S, H, W, 3) SOURCE views (already preprocessed);
+        prerescaled: images arrive at the extractor's post-rescale resolution
+        (compact-source batches, data/compact.py) — skip the device resize.
         Returns (resol, resol, resol, feature_size) in [-1, 1] (tanh).
         """
         image_rgb = as_unit_float(image_rgb)
         fg_probability = as_unit_float(fg_probability)
         mask_crop = as_unit_float(mask_crop)
-        img_feats = self.image_feature_extractor(image_rgb, fg_probability)
+        img_feats = self.image_feature_extractor(
+            image_rgb, fg_probability, rescale_done=prerescaled
+        )
         pts = voxel_coord_grid(self.resol, self.volume_extent).reshape(-1, 3)
         pooled = self.view_pooler(img_feats, cameras, pts, mask_crop)  # (N, F)
         v = self.pooled_feature_mapper(pooled)
@@ -408,6 +413,9 @@ class HoloDiffusionModel(nn.Module):
         rng: Optional[jax.Array] = None,
         voxel_features: Optional[jnp.ndarray] = None,
         timesteps: Optional[jnp.ndarray] = None,
+        src_image_rgb: Optional[jnp.ndarray] = None,
+        src_fg_probability: Optional[jnp.ndarray] = None,
+        src_mask_crop: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         """The central pipeline (holo_diffusion_model.py:201-540).
 
@@ -416,7 +424,14 @@ class HoloDiffusionModel(nn.Module):
         image_rgb or voxel_features (1, r, r, r, C) must be given; sampling
         new grids happens OUTSIDE the forward (see sampling.py) so the
         1000-step loop is not embedded in every eval trace.
+
+        Compact-source mode (data/compact.py): when src_image_rgb is given,
+        image_rgb holds ONLY the n_targets target frames and src_* hold the
+        pooling sources already host-preprocessed (masked + rescaled to the
+        extractor's input resolution); camera still covers all frames,
+        targets first.
         """
+        compact = src_image_rgb is not None
         image_rgb, fg_probability, depth_map = preprocess_input(
             image_rgb,
             fg_probability,
@@ -429,7 +444,14 @@ class HoloDiffusionModel(nn.Module):
         mask_crop = as_unit_float(mask_crop)
 
         batch_size = camera.batch_size
-        if training:
+        if compact:
+            # the loader already performed the target/source split with the
+            # SAME arithmetic (SourceCompactor.n_targets)
+            n_targets = image_rgb.shape[0]
+            assert n_targets < batch_size, (
+                "compact batch: camera must cover targets + sources"
+            )
+        elif training:
             n_targets = (
                 batch_size
                 if self.n_train_target_views <= 0
@@ -437,7 +459,7 @@ class HoloDiffusionModel(nn.Module):
             )
         else:
             n_targets = 1
-        if batch_size <= n_targets:
+        if not compact and batch_size <= n_targets:
             n_targets = 1
 
         def targets(x):
@@ -456,7 +478,21 @@ class HoloDiffusionModel(nn.Module):
             rng_pool, rng_denoise, rng_render = jax.random.split(rng, 3)
 
         # ---- view pooling (holo_diffusion_model.py:327-374)
-        if image_rgb is not None:
+        if compact:
+            assert self.view_pooler_enabled
+            assert voxel_features is None
+            # sources arrive host-preprocessed: masking + rescale already
+            # applied (data/compact.py mirrors preprocess_input's order), so
+            # skip the device-side re-mask and the extractor's resize
+            grid = self.pool_features(
+                src_image_rgb,
+                camera[n_targets:],
+                src_fg_probability,
+                src_mask_crop,
+                prerescaled=True,
+            )
+            voxel_features = grid[None]
+        elif image_rgb is not None:
             assert self.view_pooler_enabled
             assert voxel_features is None
             grid = self.pool_features(

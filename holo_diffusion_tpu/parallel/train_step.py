@@ -166,6 +166,9 @@ def make_train_step(
                 fg_probability=batch.fg_probability,
                 mask_crop=batch.mask_crop,
                 depth_map=batch.depth_map,
+                src_image_rgb=batch.src_image_rgb,
+                src_fg_probability=batch.src_fg_probability,
+                src_mask_crop=batch.src_mask_crop,
                 training=True,
                 rng=rng,
                 timesteps=timesteps,
@@ -244,6 +247,9 @@ def make_train_step(
                 fg_probability=local.fg_probability,
                 mask_crop=local.mask_crop,
                 depth_map=local.depth_map,
+                src_image_rgb=local.src_image_rgb,
+                src_fg_probability=local.src_fg_probability,
+                src_mask_crop=local.src_mask_crop,
                 training=True,
                 rng=rng,
                 timesteps=timesteps,

@@ -23,7 +23,7 @@ class Stats:
         self._sums: Dict[str, Dict[str, float]] = {}
         self._counts: Dict[str, Dict[str, int]] = {}
         self._it: Dict[str, int] = {}
-        self._epoch_start: float = time.time()
+        self._set_start: Dict[str, float] = {}
 
     # -- epoch lifecycle -------------------------------------------------
     def new_epoch(self):
@@ -31,13 +31,16 @@ class Stats:
         self._sums = {}
         self._counts = {}
         self._it = {}
-        self._epoch_start = time.time()
+        self._set_start = {}
 
     def update(self, preds: Dict[str, float], stat_set: str = "train"):
         """Accumulate scalar entries of `preds` (non-scalars are ignored;
         unknown keys are ignored if log_vars is set — Implicitron behavior)."""
         sums = self._sums.setdefault(stat_set, {})
         counts = self._counts.setdefault(stat_set, {})
+        # per-stat-set clock: a val epoch that follows a long train epoch must
+        # not inherit the train epoch's elapsed time in its sec/it
+        self._set_start.setdefault(stat_set, time.time())
         self._it[stat_set] = self._it.get(stat_set, 0) + 1
         for k, v in preds.items():
             if self.log_vars is not None and k not in self.log_vars:
@@ -48,9 +51,10 @@ class Stats:
                 continue
             sums[k] = sums.get(k, 0.0) + fv
             counts[k] = counts.get(k, 0) + 1
-        # sec/it average
-        sums["sec/it"] = time.time() - self._epoch_start
-        counts["sec/it"] = self._it[stat_set]
+        # sec/it average: elapsed since this stat_set's FIRST update this epoch,
+        # which spans it-1 iterations (the clock starts after iteration 1)
+        sums["sec/it"] = time.time() - self._set_start[stat_set]
+        counts["sec/it"] = max(self._it[stat_set] - 1, 1)
 
     def averages(self, stat_set: str = "train") -> Dict[str, float]:
         sums = self._sums.get(stat_set, {})

@@ -59,6 +59,10 @@ def main():
             provider + f"dataset_root={bench._SYNTH_CO3D_ROOT}",
             loader + f"dataset_length_train={EPOCH_FRAMES}",
             loader + "dataset_length_val=33",
+            # host-side mask+rescale of the 30 pooling sources before H2D
+            # (data/compact.py): the full-res batch is ~147 MB/step vs a
+            # ~0.35 s device step — the wire, not the MXU, paces the loop
+            "compact_sources=true",
             "disable_validation=false",
             f"exp_dir={EXP_DIR}",
             "training_loop_ImplicitronTrainingLoop_args.metric_print_interval=10",
