@@ -11,17 +11,27 @@ loss samples ground truth at per-ray positions, metrics.py:_sample_at_rays);
 the sources are consumed by the ResNet extractor AFTER a 0.32x rescale.
 
 This module moves the source-side preprocessing (fg binarize + white-bg
-composite, feature_extractor rescale) to the HOST, before transfer, using the
-SAME `resize_image` kernel the extractor applies — jitted onto the CPU
-backend so the resize is kernel-exact vs the device path — then re-quantizes
-to uint8. Per-step H2D at release scale drops ~147 MB -> ~30 MB.
+composite, feature_extractor rescale) to the HOST, before transfer, then
+re-quantizes to uint8. Per-step H2D at release scale drops ~147 MB -> ~30 MB.
+
+Two host resize kernels (`host_resize`):
+  * "native" (default): the C++ bilinear crop/resize the CO3D loader already
+    uses for box-crop (native/csrc) — ~0.1 s/batch on one host core, and the
+    same non-antialiased bilinear semantics as the reference's
+    torch `F.interpolate` rescale (implicitron resnet extractor);
+  * "exact": the jitted `resize_image` (jax, antialiased) the on-device
+    extractor applies — kernel-exact vs the full-res device path, but
+    measured 2-6 s/batch on a 1-core host (jax.image.resize on CPU), which
+    would pace the loop.
 
 Approximation note (documented, opt-in via the `compact_sources` config key):
 the extractor also exposes its raw input "images"/"masks" to the view sampler
 at input resolution (feature_extractor.py:99-102); in compact mode those 4 of
 68 pooled channels are sampled from the 0.32x-prefiltered maps instead of the
 full-res originals, and u8 re-quantization adds <=0.2% per-pixel error. The
-ResNet feature channels are exact modulo that quantization.
+ResNet feature channels are exact modulo that quantization ("exact" mode) or
+additionally carry the bilinear-vs-antialiased resize delta ("native" mode —
+which is the delta the reference itself has vs our device path).
 """
 from __future__ import annotations
 
@@ -93,17 +103,27 @@ class SourceCompactor:
         mask_threshold: float,
         bg_color,
         drop_depth: bool = False,
+        host_resize: str = "native",
     ):
+        assert host_resize in ("native", "exact"), host_resize
         self.n_train_target_views = n_train_target_views
         self.image_rescale = float(image_rescale)
         self.mask_images = bool(mask_images)
         self.mask_threshold = float(mask_threshold)
         self.bg_color = tuple(float(c) for c in np.asarray(bg_color).reshape(-1))
         self.drop_depth = bool(drop_depth)
+        self.host_resize = host_resize
+        if host_resize == "native":
+            from ..native import get_lib
+
+            if get_lib() is None:  # no native build -> exact jax path
+                self.host_resize = "exact"
         self._cpu = jax.devices("cpu")[0]
 
     @classmethod
-    def from_model(cls, model, drop_depth: bool = False) -> "SourceCompactor":
+    def from_model(
+        cls, model, drop_depth: bool = False, host_resize: str = "native"
+    ) -> "SourceCompactor":
         rescale = (model.image_feature_extractor_args or {}).get(
             "image_rescale", 0.32
         )
@@ -114,6 +134,7 @@ class SourceCompactor:
             mask_threshold=model.mask_threshold,
             bg_color=model.bg_color,
             drop_depth=drop_depth,
+            host_resize=host_resize,
         )
 
     def n_targets(self, batch_size: int) -> int:
@@ -127,27 +148,11 @@ class SourceCompactor:
             nt = 1
         return nt
 
-    def __call__(self, batch: FrameData) -> FrameData:
-        if batch.image_rgb is None or batch.src_image_rgb is not None:
-            return batch  # nothing to compact / already compact
-        B = batch.batch_size
-        nt = self.n_targets(B)
-        if B <= nt:
-            return batch  # no separate sources to compact
-        img = _to_unit_f32_np(np.asarray(batch.image_rgb)[nt:])
-        fg = (
-            None
-            if batch.fg_probability is None
-            else _to_unit_f32_np(np.asarray(batch.fg_probability)[nt:])
-        )
-        mc = (
-            None
-            if batch.mask_crop is None
-            else _to_unit_f32_np(np.asarray(batch.mask_crop)[nt:])
-        )
-        H, W = img.shape[1:3]
-        out_h = int(H * self.image_rescale)  # extractor's exact arithmetic
-        out_w = int(W * self.image_rescale)
+    def _compact_exact(self, img_u8, fg_u8, mc_u8, out_h, out_w):
+        """jax-CPU path: same antialiased `resize_image` as the device."""
+        img = _to_unit_f32_np(img_u8)
+        fg = _to_unit_f32_np(fg_u8)
+        mc = _to_unit_f32_np(mc_u8)
         with jax.default_device(self._cpu):
             img_c, fg_c, mc_c = _compact_kernel(
                 img,
@@ -161,6 +166,73 @@ class SourceCompactor:
                 has_fg=fg is not None,
                 has_mc=mc is not None,
             )
+        to_np = lambda x: None if x is None else np.asarray(x)
+        return to_np(img_c), to_np(fg_c), to_np(mc_c)
+
+    def _compact_native(self, img_u8, fg_u8, mc_u8, out_h, out_w):
+        """Fused C++ path (~60-100 ms/batch at release scale): the composite
+        is applied per bilinear corner read inside `hd_compact_source_batch_u8`
+        — semantically mask@full-res THEN resize (the reference preprocess
+        order) with no full-res intermediate (a numpy `where` over
+        33x800^2x3 alone costs seconds on a 1-core host)."""
+        from ..native import compact_source_batch_u8, crop_resize_batch_u8
+
+        as_u8 = lambda x: (
+            None
+            if x is None
+            else (
+                np.asarray(x)
+                if np.asarray(x).dtype == np.uint8
+                else np.clip(
+                    np.round(np.asarray(x, np.float32) * 255.0), 0, 255
+                ).astype(np.uint8)
+            )
+        )
+        img = as_u8(img_u8)
+        fg = as_u8(fg_u8)
+        mc = as_u8(mc_u8)
+        S, H, W = img.shape[:3]
+        out = compact_source_batch_u8(
+            img, fg, (out_h, out_w), self.mask_threshold, self.bg_color,
+            self.mask_images,
+        )
+        img_c, fg_c = out
+        mc_c = None
+        if mc is not None:
+            boxes = np.tile(np.array([0, 0, W, H], np.int32), (S, 1))
+            mc_f = crop_resize_batch_u8(
+                list(mc), boxes, (out_h, out_w), scale=1.0
+            )
+            mc_c = np.clip(np.round(mc_f), 0, 255).astype(np.uint8)
+        return img_c, fg_c, mc_c
+
+    def __call__(self, batch: FrameData) -> FrameData:
+        if batch.image_rgb is None or batch.src_image_rgb is not None:
+            return batch  # nothing to compact / already compact
+        B = batch.batch_size
+        nt = self.n_targets(B)
+        if B <= nt:
+            return batch  # no separate sources to compact
+        img = np.asarray(batch.image_rgb)[nt:]
+        fg = (
+            None
+            if batch.fg_probability is None
+            else np.asarray(batch.fg_probability)[nt:]
+        )
+        mc = (
+            None
+            if batch.mask_crop is None
+            else np.asarray(batch.mask_crop)[nt:]
+        )
+        H, W = img.shape[1:3]
+        out_h = int(H * self.image_rescale)  # extractor's exact arithmetic
+        out_w = int(W * self.image_rescale)
+        fn = (
+            self._compact_native
+            if self.host_resize == "native"
+            else self._compact_exact
+        )
+        img_c, fg_c, mc_c = fn(img, fg, mc, out_h, out_w)
 
         def tgt(x):
             return None if x is None else np.asarray(x)[:nt]
@@ -173,7 +245,7 @@ class SourceCompactor:
             depth_map=None if self.drop_depth else tgt(batch.depth_map),
             sequence_id=batch.sequence_id,
             frame_timestamp=batch.frame_timestamp,
-            src_image_rgb=np.asarray(img_c),
-            src_fg_probability=None if fg_c is None else np.asarray(fg_c),
-            src_mask_crop=None if mc_c is None else np.asarray(mc_c),
+            src_image_rgb=img_c,
+            src_fg_probability=fg_c,
+            src_mask_crop=mc_c,
         )

@@ -363,7 +363,9 @@ class Experiment:
                     "depth" in k and w != 0.0 for k, w in weights.items()
                 )
             compactor = SourceCompactor.from_model(
-                self.model, drop_depth=bool(drop_depth)
+                self.model,
+                drop_depth=bool(drop_depth),
+                host_resize=self.cfg.get("compact_host_resize", "native"),
             )
 
         state = self.init_state()

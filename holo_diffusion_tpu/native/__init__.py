@@ -41,7 +41,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
+    stale = os.path.exists(_LIB_PATH) and os.path.getmtime(
+        _LIB_PATH
+    ) < os.path.getmtime(_CSRC)
+    path = (
+        _LIB_PATH if os.path.exists(_LIB_PATH) and not stale else _build()
+    )
     if path is None:
         return None
     lib = ctypes.CDLL(path)
@@ -66,6 +71,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int),
     ]
     lib.hd_mask_bbox.restype = ctypes.c_int
+    lib.hd_compact_source_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int,
+    ]
     _lib = lib
     return _lib
 
@@ -122,6 +138,67 @@ def crop_resize_batch_u8(
         outH, outW, scale, n_threads,
     )
     return dst
+
+
+def compact_source_batch_u8(
+    imgs: np.ndarray, fgs: Optional[np.ndarray], out_hw: Tuple[int, int],
+    thr: float, bg_color, mask_images: bool, n_threads: int = 8,
+):
+    """Fused compact-source preprocess (data/compact.py): fg-threshold
+    composite onto bg_color applied per bilinear corner read (== mask at full
+    res THEN resize, the reference preprocess order), uint8 out, one pass.
+
+    imgs: (N, H, W, C) u8; fgs: (N, H, W) or (N, H, W, 1) u8 or None.
+    Returns (img (N,outH,outW,C) u8, fg (N,outH,outW,1) u8 or None), or None
+    when the native lib is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    imgs = np.ascontiguousarray(imgs, np.uint8)
+    N, H, W, C = imgs.shape
+    assert C <= 4, C
+    outH, outW = out_hw
+    img_dst = np.empty((N, outH, outW, C), np.uint8)
+    hws = np.asarray([[H, W]] * N, np.int32).reshape(-1)
+    img_ptrs = (ctypes.POINTER(ctypes.c_uint8) * N)(
+        *[
+            imgs[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            for i in range(N)
+        ]
+    )
+    fg_ptrs = None
+    fg_dst = None
+    if fgs is not None:
+        fgs = np.ascontiguousarray(
+            np.asarray(fgs, np.uint8).reshape(N, H, W)
+        )
+        fg_ptrs = (ctypes.POINTER(ctypes.c_uint8) * N)(
+            *[
+                fgs[i].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+                for i in range(N)
+            ]
+        )
+        fg_dst = np.empty((N, outH, outW), np.uint8)
+    bg = np.asarray(
+        np.clip(np.round(np.asarray(bg_color, np.float64) * 255.0), 0, 255),
+        np.float32,
+    )
+    assert bg.size >= C, (bg.size, C)
+    lib.hd_compact_source_batch_u8(
+        img_ptrs,
+        fg_ptrs,
+        hws.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        N, C,
+        img_dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        None
+        if fg_dst is None
+        else fg_dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        outH, outW, float(thr) * 255.0,
+        bg.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        1 if mask_images else 0, n_threads,
+    )
+    return img_dst, None if fg_dst is None else fg_dst[..., None]
 
 
 def mask_bbox_native(

@@ -108,15 +108,18 @@ def test_extractor_prerescaled_exact(scene, model_and_params):
     assert full["images"].shape == (3, 24, 24, 3)
 
 
-def test_compact_forward_matches_full(scene, model_and_params):
+@pytest.mark.parametrize("host_resize", ["exact", "native"])
+def test_compact_forward_matches_full(scene, model_and_params, host_resize):
     """End-to-end: the compact path differs from the full path by (a) u8
     re-quantization of the resized sources (amplified here by train-mode
     BatchNorm on a random-init ResNet at 12^2 — far noisier than release
-    scale) and (b) the 4 raw images/masks channels sampled from prefiltered
-    maps. The pooled grid must stay close and the objective must agree."""
+    scale), (b) the 4 raw images/masks channels sampled from prefiltered
+    maps, and for "native" (c) the bilinear-vs-antialiased resize delta (the
+    delta the reference's F.interpolate has vs our device kernel). The
+    pooled grid must stay close and the objective must agree."""
     model, params = model_and_params
     full = _apply(model, params, scene)
-    comp = SourceCompactor.from_model(model)
+    comp = SourceCompactor.from_model(model, host_resize=host_resize)
     cb = comp(scene)
     # layout: 2 targets full-res, 4 sources at 12^2 u8
     assert cb.image_rgb.shape[0] == 2
