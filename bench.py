@@ -427,13 +427,14 @@ def _release_provider():
     )
 
 
-def _release_model():
+def _release_model(**overrides):
     """The hydrant release recipe shape (configs/hydrant.yaml:43-58,103-150,
     220-245): 800^2 frames, ResNet34 @ rescale 0.32, 16^3 x 64 grid,
-    3 targets x 1024 rays x (64 + 64+64) pts x 2 passes, 512^2 chunked eval."""
+    3 targets x 1024 rays x (64 + 64+64) pts x 2 passes, 512^2 chunked eval.
+    `overrides` replace top-level constructor fields (profiler variants)."""
     from holo_diffusion_tpu.models.holo_model import HoloDiffusionModel
 
-    return HoloDiffusionModel(
+    kwargs = dict(
         resol=16,
         volume_extent=8.0,
         feature_size=64,
@@ -460,6 +461,8 @@ def _release_model():
         ),
         render_mlp_args=dict(dnet_hidden_dim=256, rnet_hidden_dim=128),
     )
+    kwargs.update(overrides)
+    return HoloDiffusionModel(**kwargs)
 
 
 def _release_init(model, batch):

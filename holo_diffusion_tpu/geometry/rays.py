@@ -148,13 +148,21 @@ def sample_rays_from_mask(
     """
     B, H, W = mask.shape
     rng_pix, rng_len = jax.random.split(rng)
-    logits = jnp.log(jnp.maximum(mask.reshape(B, -1), 0.0) + 1e-12)
+    w = jnp.maximum(mask.reshape(B, -1), 0.0)
     # Degenerate all-zero masks fall back to uniform.
-    all_zero = jnp.all(mask.reshape(B, -1) <= 0, axis=-1, keepdims=True)
-    logits = jnp.where(all_zero, jnp.zeros_like(logits), logits)
-    pix_idx = jax.random.categorical(
-        rng_pix, logits[:, None, :], axis=-1, shape=(B, n_rays)
-    )
+    all_zero = jnp.all(w <= 0, axis=-1, keepdims=True)
+    w = jnp.where(all_zero, jnp.ones_like(w), w)
+    # Inverse-CDF sampling (what torch.multinomial does), NOT
+    # jax.random.categorical: the Gumbel-argmax trick materializes
+    # B x n_rays x H*W work — ~2e9 ops at the release scale (3 x 1024 rays
+    # over 800^2 masks), measured ~100 ms of a 144 ms step. The CDF pays one
+    # cumsum over H*W per image + n_rays binary searches: ~0.1 ms.
+    cdf = jnp.cumsum(w, axis=-1)  # (B, HW)
+    u = jax.random.uniform(rng_pix, (B, n_rays)) * cdf[:, -1:]
+    pix_idx = jax.vmap(
+        lambda c, uu: jnp.searchsorted(c, uu, side="right")
+    )(cdf, u)
+    pix_idx = jnp.minimum(pix_idx, H * W - 1)
     grid = pixel_grid_ndc(H, W).reshape(-1, 2)
     xys = grid[pix_idx]  # (B, n_rays, 2)
     near, far = adaptive_depth_bounds(cameras, scene_center, scene_extent)

@@ -176,7 +176,7 @@ def main():
         )
 
     # bf16 extractor variant: same params, bf16 compute dtype
-    model_bf16 = bench._release_model().replace(
+    model_bf16 = bench._release_model(
         image_feature_extractor_args=dict(
             name_arch="resnet34", stages=(1, 2, 3, 4), proj_dim=16,
             image_rescale=0.32, dtype=jnp.bfloat16,
