@@ -20,7 +20,15 @@ from flax import linen as nn
 
 from ..geometry.cameras import PerspectiveCameras, camera_centers, project_points_ndc
 from ..geometry.harmonic import HarmonicEmbedding
-from ..ops.image import bilinear_sample_ndc
+from ..ops.image import bilinear_sample_ndc, bilinear_sample_ndc_matmul
+
+# Feature maps at or below this pixel count are sampled via the MXU matmul
+# formulation instead of 4-corner gathers (TPU gathers are row-at-a-time and
+# dominate the pooling phase; the triangle-weight matmul is exact — see
+# ops/image.py::bilinear_sample_ndc_matmul). 64^2 covers every ResNet stage
+# map at the release scale while leaving the full-res images/masks entries
+# (256^2-800^2) on the gather path, whose weight rows would not fit.
+_MATMUL_SAMPLE_MAX_PIXELS = 64 * 64
 from .mlp import MLPWithInputSkips
 
 _xavier = nn.initializers.xavier_uniform()
@@ -56,7 +64,12 @@ def sample_view_features(
     parts = []
     for key in sorted(feats.keys()):
         fmap = feats[key]
-        sampled = jax.vmap(bilinear_sample_ndc)(fmap, xy)
+        sample_fn = (
+            bilinear_sample_ndc_matmul
+            if fmap.shape[1] * fmap.shape[2] <= _MATMUL_SAMPLE_MAX_PIXELS
+            else bilinear_sample_ndc
+        )
+        sampled = jax.vmap(sample_fn)(fmap, xy)
         parts.append(sampled)
     feats_sampled = jnp.concatenate(parts, axis=-1)
 

@@ -52,6 +52,41 @@ def bilinear_sample_ndc(
     return out
 
 
+def bilinear_sample_ndc_matmul(
+    image: jnp.ndarray, xys: jnp.ndarray, align_corners: bool = False
+) -> jnp.ndarray:
+    """`bilinear_sample_ndc` as two MXU matmuls (small feature maps).
+
+    TPU gathers move one tiny row per index and dominate the view-pooling
+    phase (bench: gather-bound). Bilinear interpolation is separable:
+    sampled[n] = wy[n] @ image @ wx[n]^T with TRIANGLE row weights
+    wy[n, y] = max(0, 1 - |fy[n] - y|) — the 2D analog of the Pallas kron
+    sampler's wz⊗wy⊗wx formulation (ops/pallas/kron_sample.py). Identical
+    values to the gather path (same corner weights; out-of-image weights
+    vanish, reproducing zeros padding). Worth it when H*W is small enough
+    that the (N, H) weight rows beat N*4 scattered gathers — the ResNet
+    stage maps (<= 64^2 at release scale); keep the gather path for the
+    full-res images/masks entries.
+    """
+    H, W, C = image.shape
+    gx = -xys[..., 0]
+    gy = -xys[..., 1]
+    if align_corners:
+        fx = (gx + 1.0) * 0.5 * (W - 1)
+        fy = (gy + 1.0) * 0.5 * (H - 1)
+    else:
+        fx = (gx + 1.0) * 0.5 * W - 0.5
+        fy = (gy + 1.0) * 0.5 * H - 0.5
+    lead = fx.shape  # (..., ) sample dims
+    fx = fx.reshape(-1)
+    fy = fy.reshape(-1)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy[:, None] - jnp.arange(H)))  # (N, H)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[:, None] - jnp.arange(W)))  # (N, W)
+    tmp = (wy @ image.reshape(H, W * C)).reshape(-1, W, C)
+    out = jnp.einsum("nw,nwc->nc", wx, tmp)
+    return out.reshape(*lead, C)
+
+
 def resize_image(image: jnp.ndarray, height: int, width: int, method="bilinear"):
     """Resize (..., H, W, C) with jax.image (antialias off, torch-like)."""
     out_shape = (*image.shape[:-3], height, width, image.shape[-1])

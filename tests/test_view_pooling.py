@@ -160,3 +160,24 @@ def test_unconditional_sampling_tiny():
     )
     assert len(steps) == 6
     assert all((jnp.abs(s) <= 1.0).all() for s in steps)
+
+
+def test_bilinear_matmul_matches_gather():
+    """The MXU matmul formulation of bilinear sampling (triangle row weights)
+    must match the 4-corner gather path exactly, including out-of-image
+    zeros padding and both align_corners conventions."""
+    from holo_diffusion_tpu.ops.image import (
+        bilinear_sample_ndc,
+        bilinear_sample_ndc_matmul,
+    )
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(13, 9, 5).astype(np.float32))
+    # includes far-outside, boundary-straddling and interior points
+    xys = jnp.asarray(
+        rng.uniform(-1.7, 1.7, size=(257, 2)).astype(np.float32)
+    )
+    for ac in (False, True):
+        a = bilinear_sample_ndc(img, xys, align_corners=ac)
+        b = bilinear_sample_ndc_matmul(img, xys, align_corners=ac)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
