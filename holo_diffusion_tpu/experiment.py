@@ -368,6 +368,24 @@ class Experiment:
                 host_resize=self.cfg.get("compact_host_resize", "native"),
             )
 
+        # per-scene compact cache (data/compact.py CompactSceneSampler):
+        # compaction is deterministic per frame, so do it once per scene
+        # touch instead of once per batch — the batch transform alone paces
+        # the release loop on a 1-core host (bench r3: 3.0 steps/s host-bound
+        # vs ~10 steps/s device ceiling). Built ONCE here so the LRU cache
+        # persists across epochs.
+        train_data = self.data.train
+        if compactor is not None and self.cfg.get("compact_scene_cache", True):
+            from .data.compact import CompactSceneSampler
+
+            train_data = CompactSceneSampler(
+                self.data.train,
+                compactor,
+                max_cached_scenes=int(
+                    self.cfg.get("compact_cached_scenes", 4)
+                ),
+            )
+
         state = self.init_state()
         log_vars = _model_cfg_log_vars(self.cfg)
         stats = Stats.load_or_new(
@@ -434,18 +452,22 @@ class Experiment:
                 )
             elif mesh is not None:
                 loader = device_batched_loader(
-                    self.data.train, self.batch_size,
+                    train_data, self.batch_size,
                     n_host_batches * steps_per_dispatch, self.seed + epoch, n_dev,
                     process_index=jax.process_index(),
                     process_count=jax.process_count(),
-                    transform=compactor,  # compacts BEFORE the device stack
+                    # the scene-cache sampler compacts inside sample_batch;
+                    # otherwise compact per batch BEFORE the device stack
+                    transform=(
+                        compactor if train_data is self.data.train else None
+                    ),
                 )
             else:
                 loader = epoch_loader(
-                    self.data.train, self.batch_size,
+                    train_data, self.batch_size,
                     n_host_batches * steps_per_dispatch, self.seed + epoch,
                 )
-                if compactor is not None:
+                if compactor is not None and train_data is self.data.train:
                     loader = map(compactor, loader)
 
             def _group_steps(it):

@@ -255,3 +255,58 @@ def test_stats_sec_per_it_is_per_stat_set():
     val_spi = st.averages("val")["sec/it"]
     assert train_spi >= 0.2
     assert val_spi < 0.2
+
+
+def test_compact_scene_sampler_matches_transform(scene, model_and_params):
+    """CompactSceneSampler (per-scene compact cache) must produce
+    byte-identical batches to applying SourceCompactor per batch: same rng
+    consumption order, per-frame-deterministic compaction."""
+    from holo_diffusion_tpu.data.compact import CompactSceneSampler
+    from holo_diffusion_tpu.data.source import SceneDataset
+
+    model, _ = model_and_params
+    scenes = [scene, make_synthetic_scene(n_views=5, image_size=24, seed=7)]
+    ds = SceneDataset(scenes)
+    comp = SourceCompactor.from_model(model)
+    sampler = CompactSceneSampler(ds, comp, max_cached_scenes=1)
+
+    def assert_same(a, b):
+        la = jax.tree.leaves(a)
+        lb = jax.tree.leaves(b)
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    for k, B in [(0, 5), (1, 4), (2, 5), (3, 2), (4, 1)]:
+        ref = comp(ds.sample_batch(np.random.RandomState(k), B))
+        got = sampler.sample_batch(np.random.RandomState(k), B)
+        assert_same(ref, got)
+    # repeat draws hit the LRU cache (max 1 scene) and stay identical
+    ref = comp(ds.sample_batch(np.random.RandomState(0), 5))
+    got = sampler.sample_batch(np.random.RandomState(0), 5)
+    assert_same(ref, got)
+    assert len(sampler._cache) == 1
+
+
+def test_compact_scene_sampler_uses_get_scene(scene, model_and_params):
+    """Datasets exposing get_scene (the CO3D lazy loader) are driven through
+    it so their own LRU/lazy machinery is exercised, not .scenes."""
+    from holo_diffusion_tpu.data.compact import CompactSceneSampler
+    from holo_diffusion_tpu.data.source import SceneDataset
+
+    model, _ = model_and_params
+    calls = []
+
+    class LazyDS(SceneDataset):
+        def get_scene(self, i):
+            calls.append(i)
+            return self.scenes[i]
+
+    ds = LazyDS([scene])
+    comp = SourceCompactor.from_model(model)
+    sampler = CompactSceneSampler(ds, comp)
+    out = sampler.sample_batch(np.random.RandomState(0), 5)
+    assert calls == [0]
+    assert out.src_image_rgb is not None
+    assert out.src_image_rgb.dtype == np.uint8
+    assert out.image_rgb.shape[0] == comp.n_targets(5)
