@@ -164,6 +164,12 @@ def main():
         ("pool_full", pool_loss),
         ("denoise", denoise_loss),
     ]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):  # e.g. --only=full,pool_full
+            only = set(a.split("=", 1)[1].split(","))
+    if only is not None:
+        phases = [(n, f) for n, f in phases if n in only]
     results = {}
     rng = jax.random.PRNGKey(0)
     for name, loss in phases:
@@ -200,19 +206,20 @@ def main():
         return sum(jnp.sum(v.astype(jnp.float32))
                    for v in jax.tree.leaves(feats)) * 1e-8
 
-    fn = scan_grad(extract_bf16_loss)
-    print("[profile] compiling extract_bf16 ...", flush=True)
-    try:
-        med, blocks = timeit(fn, params, rng)
-        results["extract_bf16"] = med / K
-        print(
-            f"[profile] extract_bf16: {med / K * 1e3:.2f} ms/step "
-            f"(blocks {[round(b / K * 1e3, 1) for b in blocks]})",
-            flush=True,
-        )
-    except Exception as e:  # noqa: BLE001
-        print(f"[profile] extract_bf16: FAILED {type(e).__name__}: {e}",
-              flush=True)
+    if only is None or "extract_bf16" in only:
+        fn = scan_grad(extract_bf16_loss)
+        print("[profile] compiling extract_bf16 ...", flush=True)
+        try:
+            med, blocks = timeit(fn, params, rng)
+            results["extract_bf16"] = med / K
+            print(
+                f"[profile] extract_bf16: {med / K * 1e3:.2f} ms/step "
+                f"(blocks {[round(b / K * 1e3, 1) for b in blocks]})",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[profile] extract_bf16: FAILED {type(e).__name__}: {e}",
+                  flush=True)
 
     if "full" in results and "nopool" in results:
         print(
