@@ -244,6 +244,7 @@ def training_loop_args_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         metric_print_interval=t.get("metric_print_interval", 5),
         visualize_interval=t.get("visualize_interval", 100),
         whole_dataset_batch=t.get("whole_dataset_batch", False),
+        profile=t.get("profile", False),
     )
 
 

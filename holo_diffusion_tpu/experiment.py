@@ -10,6 +10,7 @@ checkpoint and restores model+optimizer+stats (SURVEY.md §3.5).
 """
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
 from typing import Optional
@@ -46,6 +47,7 @@ def _shard_stepped(batch, mesh, axis_name: str = "data"):
 from .train import make_lr_schedule, make_optimizer
 from .train.checkpoint import restore_checkpoint, save_checkpoint
 from .train.stats import Stats
+from .utils.profiling import profile_trace
 
 logger = logging.getLogger(__name__)
 
@@ -502,14 +504,24 @@ class Experiment:
             else:
                 transfer = jax.device_put
 
-            for it, batch in enumerate(
-                AsyncLoader(_group_steps(loader), transfer=transfer)
-            ):
-                rng, step_rng = jax.random.split(rng)
-                state, metrics = train_step(state, batch, step_rng)
-                stats.update(jax.device_get(metrics), "train")
-                if print_interval and it % print_interval == 0:
-                    logger.info(stats.status_line("train"))
+            # training_loop.profile=true: the reference exports chrome traces
+            # of fwd/bwd (torch.profiler, training_loop.py:463-473,525-538);
+            # here one Perfetto trace of the first dispatches of the first
+            # profiled epoch covers compile + steady-state steps.
+            profile_ctx = (
+                profile_trace(os.path.join(self.exp_dir, "traces"))
+                if self.loop_args.get("profile") and epoch == start_epoch
+                else contextlib.nullcontext()
+            )
+            with profile_ctx:
+                for it, batch in enumerate(
+                    AsyncLoader(_group_steps(loader), transfer=transfer)
+                ):
+                    rng, step_rng = jax.random.split(rng)
+                    state, metrics = train_step(state, batch, step_rng)
+                    stats.update(jax.device_get(metrics), "train")
+                    if print_interval and it % print_interval == 0:
+                        logger.info(stats.status_line("train"))
 
             # validation epoch (EVALUATION mode, training_loop.py:253-265)
             if (

@@ -355,3 +355,26 @@ def test_import_reference_checkpoint_cli(tmp_path):
     b = np.asarray(state.params["pooled_feature_mapper"]["bias"])
     np.testing.assert_allclose(k, 0.25)
     np.testing.assert_allclose(b, 0.5)
+
+
+def test_profile_flag_exports_trace(tmp_path):
+    """training_loop.profile=true exports a Perfetto trace of the first
+    epoch's dispatches (reference: torch.profiler chrome traces,
+    training_loop.py:463-473)."""
+    cfg = _tiny_synthetic_cfg(tmp_path)
+    apply_dotted_overrides(
+        cfg,
+        [
+            "training_loop_ImplicitronTrainingLoop_args.max_epochs=1",
+            "training_loop_ImplicitronTrainingLoop_args.profile=true",
+            "disable_validation=true",
+        ],
+    )
+    exp = Experiment(cfg)
+    exp.run()
+    trace_dir = os.path.join(str(tmp_path), "exp", "traces")
+    assert os.path.isdir(trace_dir)
+    found = []
+    for root, _dirs, files in os.walk(trace_dir):
+        found += files
+    assert found, "profiler produced no trace files"
