@@ -195,8 +195,9 @@ class Experiment:
             and self.model.sampling_mode_evaluation == "full_grid"
         )
         out = None
+        val_data = getattr(self, "_val_data", None) or self.data.val
         for batch in epoch_loader(
-            self.data.val, self.batch_size, self.n_batches_val, self.seed + epoch
+            val_data, self.batch_size, self.n_batches_val, self.seed + epoch
         ):
             rng, step_rng = jax.random.split(rng)
             if use_chunked:
@@ -219,22 +220,40 @@ class Experiment:
             from .models.holo_model import HoloDiffusionModel
 
             self._encode_jit = jax.jit(
-                lambda v, cam, img, fg, mc: model.apply(
-                    v, cam, img, fg, mc, method=HoloDiffusionModel.encode_eval
-                )
+                lambda v, cam, img, fg, mc, pre: model.apply(
+                    v, cam, img, fg, mc, pre,
+                    method=HoloDiffusionModel.encode_eval,
+                ),
+                static_argnums=(5,),
             )
             self._chunk_render_jit = make_chunk_render_fn(model)
 
         variables = state.variables()
         n = batch.camera.batch_size
-        src = slice(1, None) if n > 1 else slice(0, None)
-        grid = self._encode_jit(
-            variables,
-            batch.camera[src],
-            batch.image_rgb[src],
-            None if batch.fg_probability is None else batch.fg_probability[src],
-            None if batch.mask_crop is None else batch.mask_crop[src],
-        )
+        if batch.src_image_rgb is not None:
+            # compact batch (data/compact.py): targets-first camera, sources
+            # already host-masked + rescaled to the extractor input res
+            n_t = batch.image_rgb.shape[0]
+            grid = self._encode_jit(
+                variables,
+                batch.camera[n_t:],
+                batch.src_image_rgb,
+                batch.src_fg_probability,
+                batch.src_mask_crop,
+                True,
+            )
+        else:
+            src = slice(1, None) if n > 1 else slice(0, None)
+            grid = self._encode_jit(
+                variables,
+                batch.camera[src],
+                batch.image_rgb[src],
+                None
+                if batch.fg_probability is None
+                else batch.fg_probability[src],
+                None if batch.mask_crop is None else batch.mask_crop[src],
+                False,
+            )
         out = render_image_chunked(
             model,
             variables,
@@ -378,15 +397,28 @@ class Experiment:
         # persists across epochs.
         train_data = self.data.train
         if compactor is not None and self.cfg.get("compact_scene_cache", True):
-            from .data.compact import CompactSceneSampler
+            from .data.compact import CompactSceneSampler, SourceCompactor as _SC
 
+            n_cached = int(self.cfg.get("compact_cached_scenes", 4))
             train_data = CompactSceneSampler(
-                self.data.train,
-                compactor,
-                max_cached_scenes=int(
-                    self.cfg.get("compact_cached_scenes", 4)
-                ),
+                self.data.train, compactor, max_cached_scenes=n_cached
             )
+            if self.cfg.get("compact_val", True):
+                # EVALUATION batches split 1 target + (B-1) sources
+                # (holo_model.__call__ eval branch); compact the val sources
+                # too — a release val batch is otherwise ~147 MB of H2D
+                val_comp = _SC(
+                    n_train_target_views=1,
+                    image_rescale=compactor.image_rescale,
+                    mask_images=compactor.mask_images,
+                    mask_threshold=compactor.mask_threshold,
+                    bg_color=compactor.bg_color,
+                    drop_depth=compactor.drop_depth,
+                    host_resize=compactor.host_resize,
+                )
+                self._val_data = CompactSceneSampler(
+                    self.data.val, val_comp, max_cached_scenes=n_cached
+                )
 
         state = self.init_state()
         log_vars = _model_cfg_log_vars(self.cfg)

@@ -282,24 +282,32 @@ class HoloDiffusionModel(nn.Module):
         image_rgb: jnp.ndarray,
         fg_probability: Optional[jnp.ndarray] = None,
         mask_crop: Optional[jnp.ndarray] = None,
+        prerescaled: bool = False,
     ) -> jnp.ndarray:
         """Preprocess + pool + EVALUATION denoise -> (r, r, r, C) voxel grid.
 
         The encode half of the EVALUATION forward (holo_diffusion_model.py:
         327-374 + 420-426), exposed so chunked/flyaround rendering can reuse
         one grid across many target cameras without re-pooling.
-        `image_rgb`: (S, H, W, 3) SOURCE views only.
+        `image_rgb`: (S, H, W, 3) SOURCE views only. With `prerescaled` the
+        sources arrive host-preprocessed (compact mode, data/compact.py):
+        masking/composite already applied and already at the extractor's
+        input resolution — skip the device-side re-mask and resize.
         """
-        image_rgb, fg_probability, _ = preprocess_input(
-            image_rgb,
-            fg_probability,
-            None,
-            self.mask_images,
-            self.mask_depths,
-            self.mask_threshold,
-            self.bg_color,
+        if not prerescaled:
+            image_rgb, fg_probability, _ = preprocess_input(
+                image_rgb,
+                fg_probability,
+                None,
+                self.mask_images,
+                self.mask_depths,
+                self.mask_threshold,
+                self.bg_color,
+            )
+        grid = self.pool_features(
+            image_rgb, camera, fg_probability, mask_crop,
+            prerescaled=prerescaled,
         )
-        grid = self.pool_features(image_rgb, camera, fg_probability, mask_crop)
         v, _ = self.denoise(grid[None], training=False, rng=None)
         return v[0]
 

@@ -332,6 +332,9 @@ def make_eval_step(model: HoloDiffusionModel) -> Callable:
             depth_map=batch.depth_map,
             training=False,
             rng=rng,
+            src_image_rgb=batch.src_image_rgb,
+            src_fg_probability=batch.src_fg_probability,
+            src_mask_crop=batch.src_mask_crop,
         )
         return {
             **_scalar_metrics(preds),

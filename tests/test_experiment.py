@@ -378,3 +378,30 @@ def test_profile_flag_exports_trace(tmp_path):
     for root, _dirs, files in os.walk(trace_dir):
         found += files
     assert found, "profiler produced no trace files"
+
+
+def test_experiment_compact_chunked_validation(tmp_path):
+    """compact_sources + chunk_size_grid: the val epoch assembles compact
+    batches (1 full-res target + host-prerescaled sources via the per-scene
+    cache) and the chunked eval encodes from them (encode_eval
+    prerescaled=True). Guards the release val path, which otherwise ships
+    ~147 MB/batch of full-res sources over the wire."""
+    cfg = _tiny_synthetic_cfg(tmp_path)
+    apply_dotted_overrides(
+        cfg,
+        [
+            f"exp_dir={tmp_path}/cchunk",
+            "compact_sources=true",
+            "model_factory_ImplicitronModelFactory_args."
+            "model_HoloDiffusionModel_args.chunk_size_grid=256",
+            "disable_validation=false",
+        ],
+    )
+    exp = Experiment(cfg)
+    state, stats = exp.run(max_epochs=1, use_mesh=False)
+    # the val loader really went through the compact sampler
+    assert getattr(exp, "_val_data", None) is not None
+    assert exp._val_data.compactor.n_targets(3) == 1
+    val = stats.history[0]["val"]
+    assert np.isfinite(val["loss_rgb_mse"])
+    assert np.isfinite(val["loss_rgb_psnr"])
