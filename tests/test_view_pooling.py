@@ -181,3 +181,39 @@ def test_bilinear_matmul_matches_gather():
         a = bilinear_sample_ndc(img, xys, align_corners=ac)
         b = bilinear_sample_ndc_matmul(img, xys, align_corners=ac)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_bilinear_matmul_gradient_matches_gather():
+    """The train step differentiates through view sampling (grads reach the
+    extractor); the MXU matmul formulation must carry the same gradients as
+    the gather path — both wrt the feature map and the sample positions."""
+    import jax
+    from holo_diffusion_tpu.ops.image import (
+        bilinear_sample_ndc,
+        bilinear_sample_ndc_matmul,
+    )
+
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.randn(11, 7, 3).astype(np.float32))
+    # keep positions away from exact grid lines (kink points of the
+    # piecewise-linear interpolant, where subgradients may differ)
+    xys = jnp.asarray(
+        (rng.uniform(-1.2, 1.2, size=(64, 2)) + 0.0013).astype(np.float32)
+    )
+
+    def loss(fn, img, xys):
+        out = fn(img, xys)
+        return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+
+    g_img_a, g_xy_a = jax.grad(
+        lambda i, x: loss(bilinear_sample_ndc, i, x), argnums=(0, 1)
+    )(img, xys)
+    g_img_b, g_xy_b = jax.grad(
+        lambda i, x: loss(bilinear_sample_ndc_matmul, i, x), argnums=(0, 1)
+    )(img, xys)
+    np.testing.assert_allclose(
+        np.asarray(g_img_a), np.asarray(g_img_b), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_xy_a), np.asarray(g_xy_b), atol=3e-4, rtol=1e-4
+    )
