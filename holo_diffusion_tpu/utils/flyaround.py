@@ -218,15 +218,41 @@ def render_flyaround(
         )
         voxel_features = grid[None]
 
-    @jax.jit
-    def render_one(params, camera: PerspectiveCameras, v, step_rng):
-        return model.apply(
-            params,
-            camera=camera,
-            voxel_features=v,
-            training=False,
-            rng=step_rng,
-        )
+    # Dense flyaround frames at the release eval scale (512², 64+64 pts,
+    # normals on) go through the CHUNKED renderer — same constant-memory /
+    # TPU-chunk-autoscale path as the val epoch (render_eval.py); a single
+    # full-grid program at that scale is an HBM gamble and recompiles per
+    # render size. Small renders keep the one-program fast path.
+    use_chunked = (
+        (model.chunk_size_grid or 0) > 0
+        and model.sampling_mode_evaluation == "full_grid"
+    )
+    if use_chunked:
+        from ..render_eval import make_chunk_render_fn, render_image_chunked
+
+        chunk_fn = make_chunk_render_fn(model)
+
+        def render_one(params, camera: PerspectiveCameras, v, step_rng):
+            out = render_image_chunked(
+                model,
+                params,
+                camera,
+                v[0],
+                chunk_renderer=lambda g, b: chunk_fn(params, g, b),
+            )
+            return {k: val[None] for k, val in out.items()}
+
+    else:
+
+        @jax.jit
+        def render_one(params, camera: PerspectiveCameras, v, step_rng):
+            return model.apply(
+                params,
+                camera=camera,
+                voxel_features=v,
+                training=False,
+                rng=step_rng,
+            )
 
     streams: Dict[str, VideoWriter] = {}
 

@@ -133,3 +133,27 @@ def test_render_flyaround_progressive(tmp_path):
         n_flyaround_poses=3, progressive_sampling_steps_per_render=2,
     )
     assert os.path.exists(out["images_render"])
+
+
+@pytest.mark.slow
+def test_render_flyaround_chunked(tmp_path):
+    """chunk_size_grid > 0 routes flyaround frames through the chunked
+    renderer (same constant-memory path as the val epoch) — release configs
+    render 512^2 frames, where one full-grid program is an HBM gamble."""
+    scene = make_synthetic_scene(n_views=4, image_size=12)
+    model = HoloDiffusionModel(**{**TINY, "chunk_size_grid": 256})
+    params = model.init(
+        jax.random.PRNGKey(0),
+        camera=scene.camera,
+        image_rgb=scene.image_rgb,
+        fg_probability=scene.fg_probability,
+        mask_crop=scene.mask_crop,
+        training=True,
+        rng=jax.random.PRNGKey(1),
+    )
+    out = render_flyaround(
+        model, params, str(tmp_path / "chunked"), sample_mode=True,
+        n_flyaround_poses=2, trajectory_distance=4.0,
+    )
+    assert "images_render" in out and os.path.exists(out["images_render"])
+    assert os.path.exists(out["masks_render"])
