@@ -36,10 +36,15 @@ def main():
     video_fps = opts.pop("video_fps", 20)
     # sample through the EMA parameters (requires training with ema_rate > 0)
     use_ema = opts.pop("use_ema", False)
+    # grids sampled per SPMD dispatch, sharded over the device mesh (one grid
+    # per chip — sampling is data-parallel across samples). 0 = auto: the
+    # device count when >1 device is visible and not rendering progressively.
+    sample_batch_size = opts.pop("sample_batch_size", 0)
     if opts:
         raise ValueError(f"unknown args: {list(opts)}")
 
     import jax
+    import numpy as np
 
     from holo_diffusion_tpu.utils.checkpoint_utils import load_experiment
     from holo_diffusion_tpu.utils.flyaround import render_flyaround
@@ -54,6 +59,30 @@ def main():
     )
     params = state.variables()
 
+    if sample_batch_size == 0 and progressive <= 0 and jax.device_count() > 1:
+        sample_batch_size = min(num_samples, jax.device_count())
+
+    grids = {}
+    if sample_batch_size > 1 and progressive <= 0:
+        # pre-sample all grids in mesh-sharded batches: the 1000-step DDPM
+        # scan runs once per batch as one SPMD program, one grid per device
+        from holo_diffusion_tpu.parallel.mesh import make_mesh
+        from holo_diffusion_tpu.sampling import sample_random_voxel_features
+
+        mesh = make_mesh(min(sample_batch_size, jax.device_count()))
+        for start in range(0, num_samples, sample_batch_size):
+            n = min(sample_batch_size, num_samples - start)
+            # pad the tail batch to the batch size so the compiled program
+            # (and its sharding) is reused; surplus grids are dropped
+            batch = sample_random_voxel_features(
+                model, params, jax.random.PRNGKey(seed + start),
+                n_samples=sample_batch_size, mesh=mesh,
+            )
+            for j in range(n):
+                # pull each grid off the mesh to host — render_flyaround's
+                # jit runs single-device and rejects mesh-committed args
+                grids[start + j] = np.asarray(batch[j:j + 1])
+
     for i in range(num_samples):
         name = f"sample_{i:05d}"
         out = render_flyaround(
@@ -67,6 +96,7 @@ def main():
             progressive_sampling_steps_per_render=progressive,
             video_fps=video_fps,
             save_voxel_features=save_voxel_features,
+            voxel_features=grids.get(i),
         )
         logging.info(f"{name}: {out}")
 

@@ -34,21 +34,53 @@ def sample_random_voxel_features(
     rng: jax.Array,
     max_iter: Optional[int] = None,
     use_ddim: bool = False,
+    n_samples: int = 1,
+    mesh=None,
 ) -> jnp.ndarray:
-    """Full ancestral DDPM sampling -> (1, r, r, r, C) clipped to [-1, 1]."""
+    """Full ancestral DDPM sampling -> (n_samples, r, r, r, C) in [-1, 1].
+
+    Sampling is trivially data-parallel across samples (one grid per chip —
+    the serving-throughput axis): with `mesh`, the batch axis is sharded over
+    the mesh's first axis and the whole 1000-step scan runs as one SPMD
+    program with ZERO collectives (the UNet is batch-parallel). n_samples
+    should be a multiple of the mesh axis size for even sharding.
+    """
     assert model.net_3d_enabled and model.diffusion_enabled
-    shape = (1, model.resol, model.resol, model.resol, model.feature_size)
+    shape = (
+        n_samples, model.resol, model.resol, model.resol, model.feature_size
+    )
     sched = _schedule(model)
     loop = gd.ddim_sample_loop if use_ddim else gd.p_sample_loop
     kwargs = {} if use_ddim else {"max_iter": max_iter}
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        # checkpoint-restored params arrive COMMITTED to one device; a jit
+        # whose body constrains onto the mesh rejects single-device committed
+        # args ("incompatible devices") — replicate them over the mesh first
+        rep = NamedSharding(mesh, PartitionSpec())
+        params = jax.device_put(params, rep)
+        rng = jax.device_put(rng, rep)
+
     # params must be jit ARGUMENTS — closures would embed them as constants
     @functools.partial(jax.jit, static_argnames=())
     def run(params, rng):
+        rng_init, rng_loop = jax.random.split(rng)
+        noise = jax.random.normal(rng_init, shape)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            noise = jax.lax.with_sharding_constraint(
+                noise, NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
+            )
         model_fn = lambda x, t: model.apply(
             params, x, t, method=HoloDiffusionModel.apply_net_3d
         )
-        x = loop(sched, model_fn, shape, rng, clip_denoised=True, **kwargs)
+        x = loop(
+            sched, model_fn, shape, rng_loop, noise=noise,
+            clip_denoised=True, **kwargs,
+        )
         return jnp.clip(x, -1.0, 1.0)
 
     return run(params, rng)

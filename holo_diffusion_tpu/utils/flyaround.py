@@ -154,6 +154,7 @@ def render_flyaround(
     save_voxel_features: bool = False,
     seed: int = 0,
     shaded_depth_method: str = "gradient",  # gradient | pointcloud | mesh
+    voxel_features: Optional[jnp.ndarray] = None,
 ) -> Dict[str, str]:
     """The inference driver (flyaround.py:44-298).
 
@@ -193,7 +194,11 @@ def render_flyaround(
     progressive_gen = None
     if sample_mode:
         rng, sample_rng = jax.random.split(rng)
-        if progressive_sampling_steps_per_render > 0:
+        if voxel_features is not None:
+            # precomputed grid (e.g. one of a mesh-sharded sampling batch —
+            # generate_samples.py samples all grids in one SPMD scan)
+            assert voxel_features.ndim == 5 and voxel_features.shape[0] == 1
+        elif progressive_sampling_steps_per_render > 0:
             progressive_gen = sample_random_voxel_features_progressive(
                 model, params, sample_rng
             )

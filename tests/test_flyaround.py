@@ -91,6 +91,17 @@ def test_render_flyaround_sample_mode(tmp_path):
     assert "images_render" in out and os.path.exists(out["images_render"])
     assert os.path.exists(out["depths_render"])
 
+    # precomputed-grid path (generate_samples pre-samples grids in one
+    # mesh-sharded SPMD batch and hands each to render_flyaround)
+    grid = jnp.tanh(
+        jax.random.normal(jax.random.PRNGKey(5), (1, 4, 4, 4, 32))
+    )
+    out2 = render_flyaround(
+        model, params, str(tmp_path / "pre"), sample_mode=True,
+        n_flyaround_poses=2, trajectory_distance=4.0, voxel_features=grid,
+    )
+    assert "images_render" in out2 and os.path.exists(out2["images_render"])
+
 
 @pytest.mark.slow
 def test_render_flyaround_reconstruction_mode(tmp_path):

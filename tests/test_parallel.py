@@ -378,6 +378,45 @@ def test_spatially_sharded_sampling_matches_single_device():
     assert np.isfinite(arr).all() and arr.min() >= -1.0 and arr.max() <= 1.0
 
 
+def test_batch_sampling_sharded_over_mesh():
+    """DP sample fleet: n_samples sharded one-grid-per-device — identical
+    values to the unsharded batched run (with_sharding_constraint changes
+    placement, not math), distributed output, samples mutually distinct."""
+    from holo_diffusion_tpu.models.holo_model import HoloDiffusionModel
+    from holo_diffusion_tpu.sampling import sample_random_voxel_features
+
+    mesh = make_mesh(8)
+    model = HoloDiffusionModel(
+        resol=4, feature_size=32, view_pooler_enabled=False,
+        net_3d_args=dict(model_channels=32, num_res_blocks=1,
+                         channel_mult=(1,), attention_resolutions=(),
+                         use_remat=False),
+        diffusion_args=dict(num_steps=5, beta_start_unscaled=2e-5,
+                            beta_end_unscaled=4e-3),
+    )
+    v = jnp.zeros((1, 4, 4, 4, 32))
+    params = model.init(jax.random.PRNGKey(0), v, jnp.zeros((1,), jnp.int32),
+                        method=HoloDiffusionModel.apply_net_3d)
+    # commit params to ONE device, as a checkpoint restore does — the mesh
+    # path must replicate them rather than reject committed args
+    params = jax.device_put(params, jax.devices()[0])
+
+    batched = sample_random_voxel_features(
+        model, params, jax.random.PRNGKey(7), n_samples=8, mesh=mesh
+    )
+    assert batched.shape == (8, 4, 4, 4, 32)
+    assert len(batched.sharding.device_set) == 8
+    arr = np.asarray(batched)
+    assert np.isfinite(arr).all() and np.abs(arr).max() <= 1.0
+    # distinct samples (independent noise per batch element)
+    assert not np.allclose(arr[0], arr[1])
+
+    plain = sample_random_voxel_features(
+        model, params, jax.random.PRNGKey(7), n_samples=8
+    )
+    np.testing.assert_allclose(arr, np.asarray(plain), atol=1e-5, rtol=1e-5)
+
+
 def test_ema_params_track_training(setup):
     """ema_rate > 0 keeps an exponential moving average of params in the
     TrainState (guided_diffusion update_ema, nn.py:61-71)."""
