@@ -732,7 +732,16 @@ def main():
         print(out if phase == "probe" else float(out), flush=True)
         return
 
-    device = _run_phase("probe", 600)
+    # The tunnel's availability is flaky (multi-hour outages observed); retry
+    # the cheap probe for up to ~30 min before declaring the device gone, so
+    # a transient blip at bench time doesn't zero out the whole record.
+    device = None
+    probe_deadline = time.time() + 1800
+    while device is None and time.time() < probe_deadline:
+        device = _run_phase("probe", 600)
+        if device is None and time.time() < probe_deadline:
+            _log("[bench] probe failed; retrying in 60s")
+            time.sleep(60)
     if device is None:
         print(
             json.dumps(

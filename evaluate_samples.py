@@ -56,7 +56,10 @@ def main():
         render_size=tuple(render_size) if render_size else None,
         use_ema=use_ema,
     )
-    scenes = exp.data.train.scenes
+    # lazy iterator: _real_image_set early-breaks at n_real, and the CO3D
+    # dataset's LRU host cache stays bounded (materializing `.scenes` would
+    # hold every sequence, ~600 MB each at the release scale)
+    scenes = exp.data.train.iter_scenes()
     res = evaluate_samples(
         exp.model,
         state.variables(),

@@ -30,6 +30,20 @@ class SceneDataset:
     def __len__(self):
         return len(self.scenes)
 
+    def get_scene(self, idx: int) -> FrameData:
+        return self.scenes[idx]
+
+    def iter_scenes(self, limit: int = -1):
+        """Lazily yield scenes (never materializes the whole split — for
+        CO3DSceneDataset `.scenes` builds a list of every sequence, defeating
+        its LRU host-cache bound: ~600 MB/sequence at the release scale)."""
+        n = len(self) if limit < 0 else min(limit, len(self))
+        for i in range(n):
+            yield self.get_scene(i)
+
+    def first_scenes(self, k: int):
+        return list(self.iter_scenes(k))
+
     def sample_batch(self, rng: np.random.RandomState, batch_size: int) -> FrameData:
         """One same-sequence batch: `batch_size` frames of one random scene
         (with replacement when the scene has fewer frames)."""

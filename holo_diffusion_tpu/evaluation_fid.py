@@ -144,8 +144,13 @@ def vgg_pooled_feature_fn(vgg_variables, min_input_size: int = 64):
     def feats(v, x):
         B, H, W, C = x.shape
         if min(H, W) < min_input_size:
-            s = max(min_input_size, H, W)
-            x = jax.image.resize(x, (B, s, s, C), "bilinear")
+            # scale the SHORT side up to min_input_size, preserving aspect
+            # ratio (a square max(H, W) resize would stretch non-square
+            # renders and blow up the VGG forward on the long side)
+            scale = min_input_size / min(H, W)
+            nh = max(min_input_size, int(round(H * scale)))
+            nw = max(min_input_size, int(round(W * scale)))
+            x = jax.image.resize(x, (B, nh, nw, C), "bilinear")
         taps = model.apply(v, x)
         return jnp.mean(taps[-1], axis=(1, 2))
 

@@ -329,7 +329,8 @@ class Experiment:
                     "(train with ema_rate > 0)"
                 )
             state = state.replace(params=state.ema_params)
-        scenes = (self.data.val.scenes or self.data.train.scenes)
+        eval_ds = self.data.val if len(self.data.val) else self.data.train
+        scenes = eval_ds.iter_scenes()
         perceptual_fn = None
         lpips_vgg = self.cfg.get("lpips_vgg_weights_path")
         if lpips_vgg:
@@ -578,10 +579,10 @@ class Experiment:
                     # render_image_chunked at visualization time)
                     if self.cfg.get("visualize_denoising_video", False):
                         dv_camera = None
-                        if self.data.val.scenes:
-                            dv_camera = self.data.val.scenes[0].camera[:1]
-                        elif self.data.train.scenes:
-                            dv_camera = self.data.train.scenes[0].camera[:1]
+                        if len(self.data.val):
+                            dv_camera = self.data.val.get_scene(0).camera[:1]
+                        elif len(self.data.train):
+                            dv_camera = self.data.train.get_scene(0).camera[:1]
                         if dv_camera is None:
                             logger.warning(
                                 "visualize_denoising_video: no scenes in any "
@@ -613,7 +614,8 @@ class Experiment:
                 res = evaluate_new_view_synthesis(
                     self.model,
                     jax.device_get(state.variables()),
-                    (self.data.val.scenes or self.data.train.scenes)[:4],
+                    (self.data.val if len(self.data.val)
+                     else self.data.train).first_scenes(4),
                     dump_path=os.path.join(
                         self.exp_dir, f"eval_epoch_{epoch:08d}.json"
                     ),
@@ -648,7 +650,8 @@ class Experiment:
             evaluate_new_view_synthesis(
                 self.model,
                 jax.device_get(state.variables()),
-                (self.data.val.scenes or self.data.train.scenes)[:4],
+                (self.data.val if len(self.data.val)
+                 else self.data.train).first_scenes(4),
                 dump_path=os.path.join(self.exp_dir, "eval_final.json"),
             )
         return state, stats

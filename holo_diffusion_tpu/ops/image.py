@@ -82,8 +82,15 @@ def bilinear_sample_ndc_matmul(
     fy = fy.reshape(-1)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy[:, None] - jnp.arange(H)))  # (N, H)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[:, None] - jnp.arange(W)))  # (N, W)
-    tmp = (wy @ image.reshape(H, W * C)).reshape(-1, W, C)
-    out = jnp.einsum("nw,nwc->nc", wx, tmp)
+    # HIGHEST keeps the "identical to the gather path" contract on TPU, where
+    # default matmul precision would truncate weights/features to bf16 (the
+    # gather path is f32 VPU arithmetic). The maps here are tiny (<= 64^2),
+    # so the multi-pass f32 matmul is still far cheaper than the gathers.
+    hi = jax.lax.Precision.HIGHEST
+    tmp = jax.lax.dot(
+        wy, image.reshape(H, W * C), precision=hi
+    ).reshape(-1, W, C)
+    out = jnp.einsum("nw,nwc->nc", wx, tmp, precision=hi)
     return out.reshape(*lead, C)
 
 

@@ -24,6 +24,8 @@ class Stats:
         self._counts: Dict[str, Dict[str, int]] = {}
         self._it: Dict[str, int] = {}
         self._set_start: Dict[str, float] = {}
+        self._first_window: Dict[str, float] = {}
+        self._last_event = time.time()
 
     # -- epoch lifecycle -------------------------------------------------
     def new_epoch(self):
@@ -32,6 +34,8 @@ class Stats:
         self._counts = {}
         self._it = {}
         self._set_start = {}
+        self._first_window = {}
+        self._last_event = time.time()
 
     def update(self, preds: Dict[str, float], stat_set: str = "train"):
         """Accumulate scalar entries of `preds` (non-scalars are ignored;
@@ -40,7 +44,14 @@ class Stats:
         counts = self._counts.setdefault(stat_set, {})
         # per-stat-set clock: a val epoch that follows a long train epoch must
         # not inherit the train epoch's elapsed time in its sec/it
-        self._set_start.setdefault(stat_set, time.time())
+        now = time.time()
+        if stat_set not in self._set_start:
+            self._set_start[stat_set] = now
+            # fallback window for single-update sets (e.g. n_batches_val=1):
+            # the set's only iteration began at the previous update event of
+            # any set (or epoch start), not at its own completion time
+            self._first_window[stat_set] = now - self._last_event
+        self._last_event = now
         self._it[stat_set] = self._it.get(stat_set, 0) + 1
         for k, v in preds.items():
             if self.log_vars is not None and k not in self.log_vars:
@@ -52,9 +63,14 @@ class Stats:
             sums[k] = sums.get(k, 0.0) + fv
             counts[k] = counts.get(k, 0) + 1
         # sec/it average: elapsed since this stat_set's FIRST update this epoch,
-        # which spans it-1 iterations (the clock starts after iteration 1)
-        sums["sec/it"] = time.time() - self._set_start[stat_set]
-        counts["sec/it"] = max(self._it[stat_set] - 1, 1)
+        # which spans it-1 iterations (the clock starts after iteration 1);
+        # with a single update so far, use the fallback window instead of ~0
+        if self._it[stat_set] == 1:
+            sums["sec/it"] = self._first_window[stat_set]
+            counts["sec/it"] = 1
+        else:
+            sums["sec/it"] = now - self._set_start[stat_set]
+            counts["sec/it"] = self._it[stat_set] - 1
 
     def averages(self, stat_set: str = "train") -> Dict[str, float]:
         sums = self._sums.get(stat_set, {})

@@ -245,6 +245,33 @@ def test_co3d_compact_cache(tmp_path):
     np.testing.assert_allclose(crop, full.mask_crop, atol=1e-6)
 
 
+def test_scene_iteration_is_lazy(tmp_path):
+    """iter_scenes/first_scenes must not materialize the whole split: the
+    CO3D dataset's LRU host cache is the memory bound at the release scale
+    (~600 MB/sequence), and `.scenes` holds strong refs to every sequence.
+    Consumers (evaluate_samples, eval-only, visualize_reconstruction) go
+    through the lazy API."""
+    root = str(tmp_path)
+    cat = _make_fake_co3d(root)
+    ds = CO3DDataProvider(
+        category=cat, dataset_root=root, subset_name="fewview_dev",
+        image_height=32, image_width=32,
+    ).train
+    calls = []
+    orig = ds.get_scene
+
+    def counting(i):
+        calls.append(i)
+        return orig(i)
+
+    ds.get_scene = counting
+    first = ds.first_scenes(1)
+    assert len(first) == 1 and calls == [0]
+    it = ds.iter_scenes()
+    next(it)
+    assert calls == [0, 0]  # generator pulled exactly one more scene
+
+
 def test_co3d_depth_loading(tmp_path):
     """CO3D stores float16 depth bits in uint16 PNGs — exercise the decode."""
     import gzip

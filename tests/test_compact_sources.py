@@ -257,6 +257,21 @@ def test_stats_sec_per_it_is_per_stat_set():
     assert val_spi < 0.2
 
 
+def test_stats_sec_per_it_single_update_set():
+    """A stat set that receives exactly ONE update in an epoch (e.g.
+    n_batches_val=1) must report a real window — the time since the previous
+    update event — not ~0 (its own clock starts at its only update)."""
+    from holo_diffusion_tpu.train.stats import Stats
+
+    st = Stats()
+    st.new_epoch()
+    st.update({"objective": 1.0}, "train")
+    time.sleep(0.1)
+    st.update({"objective": 1.0}, "val")  # the val iteration took ~0.1 s
+    val_spi = st.averages("val")["sec/it"]
+    assert 0.05 <= val_spi <= 1.0, val_spi
+
+
 def test_compact_scene_sampler_matches_transform(scene, model_and_params):
     """CompactSceneSampler (per-scene compact cache) must produce
     byte-identical batches to applying SourceCompactor per batch: same rng

@@ -52,7 +52,8 @@ def main():
     )
     params = state.variables()
 
-    scenes = exp.data.val.scenes[:n_eval_sequences] or exp.data.train.scenes[:n_eval_sequences]
+    eval_ds = exp.data.val if len(exp.data.val) else exp.data.train
+    scenes = eval_ds.first_scenes(n_eval_sequences)
     for si, scene in enumerate(scenes):
         out = render_flyaround(
             model,
