@@ -40,6 +40,11 @@ def main():
     # per chip — sampling is data-parallel across samples). 0 = auto: the
     # device count when >1 device is visible and not rendering progressively.
     sample_batch_size = opts.pop("sample_batch_size", 0)
+    # DDIM accelerated sampling: use_ddim=true max_iter=50 runs a strided
+    # 50-step DDIM scan instead of the 1000-step DDPM loop (~20x fewer UNet
+    # evals — the fast-preview/serving path)
+    use_ddim = opts.pop("use_ddim", False)
+    max_iter = opts.pop("max_iter", None)
     if opts:
         raise ValueError(f"unknown args: {list(opts)}")
 
@@ -77,6 +82,7 @@ def main():
             batch = sample_random_voxel_features(
                 model, params, jax.random.PRNGKey(seed + start),
                 n_samples=sample_batch_size, mesh=mesh,
+                use_ddim=use_ddim, max_iter=max_iter,
             )
             for j in range(n):
                 # pull each grid off the mesh to host — render_flyaround's
@@ -97,6 +103,8 @@ def main():
             video_fps=video_fps,
             save_voxel_features=save_voxel_features,
             voxel_features=grids.get(i),
+            sample_use_ddim=use_ddim,
+            sample_max_iter=max_iter,
         )
         logging.info(f"{name}: {out}")
 

@@ -444,11 +444,27 @@ def ddim_sample(
     rng: jax.Array,
     clip_denoised: bool = True,
     eta: float = 0.0,
+    t_prev=None,
 ):
+    """One DDIM step t -> t_prev (gaussian_diffusion.py:645-699).
+
+    t_prev: destination timestep, -1 meaning x_0. Default t-1 (the reference's
+    full-trajectory DDIM); a strided subsequence (DDIM paper §4.2 accelerated
+    sampling — the reference dropped guided_diffusion's respace.py, this
+    implements the same acceleration natively) passes the NEXT member of the
+    subsequence."""
     out = p_mean_variance(sched, model_fn, x, t, clip_denoised)
     eps = predict_eps_from_xstart(sched, x, t, out["pred_xstart"])
     alpha_bar = _extract(sched.alphas_cumprod, t, x.ndim)
-    alpha_bar_prev = _extract(sched.alphas_cumprod_prev, t, x.ndim)
+    if t_prev is None:
+        alpha_bar_prev = _extract(sched.alphas_cumprod_prev, t, x.ndim)
+    else:
+        # concat([1], alphas_cumprod)[tp+1] == alphas_cumprod_prev[tp+1] and
+        # == 1.0 at tp == -1: identical to the default when t_prev == t-1
+        acp1 = jnp.concatenate(
+            [jnp.ones((1,), sched.alphas_cumprod.dtype), sched.alphas_cumprod]
+        )
+        alpha_bar_prev = _extract(acp1, t_prev + 1, x.ndim)
     sigma = (
         eta
         * jnp.sqrt((1 - alpha_bar_prev) / (1 - alpha_bar))
@@ -459,7 +475,10 @@ def ddim_sample(
         out["pred_xstart"] * jnp.sqrt(alpha_bar_prev)
         + jnp.sqrt(1 - alpha_bar_prev - sigma**2) * eps
     )
-    nonzero_mask = (t != 0).astype(x.dtype).reshape(-1, *([1] * (x.ndim - 1)))
+    # no noise into the FINAL state (x_0): t_prev < 0 on a strided
+    # subsequence's last step even when t != 0
+    last = (t == 0) if t_prev is None else (t_prev < 0)
+    nonzero_mask = (~last).astype(x.dtype).reshape(-1, *([1] * (x.ndim - 1)))
     sample = mean_pred + nonzero_mask * sigma * noise
     return {"sample": sample, "pred_xstart": out["pred_xstart"]}
 
@@ -489,19 +508,44 @@ def ddim_sample_loop(
     noise: Optional[jnp.ndarray] = None,
     clip_denoised: bool = True,
     eta: float = 0.0,
+    num_steps: Optional[int] = None,
 ):
+    """DDIM sampling as ONE lax.scan. `num_steps` < T runs the DDIM paper's
+    accelerated sampler over an evenly-strided timestep subsequence that
+    still COVERS the full trajectory T-1 .. 0 (unlike p_sample_loop's
+    reference-parity `max_iter`, which truncates); num_steps None/>=T is
+    bit-identical to the unstrided loop."""
+    import numpy as _np
+
     rng, rng_init = jax.random.split(rng)
     x = noise if noise is not None else jax.random.normal(rng_init, shape)
-    ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    T = sched.num_timesteps
+    if num_steps is None or num_steps >= T:
+        ts_np = _np.arange(T - 1, -1, -1)
+    else:
+        # unique descending subsequence T-1 .. 0 (round of a linspace can
+        # duplicate neighbours when num_steps ~ T)
+        ts_np = _np.unique(
+            _np.round(_np.linspace(T - 1, 0, max(num_steps, 2))).astype(
+                _np.int64
+            )
+        )[::-1]
+    ts = jnp.asarray(ts_np, jnp.int32)
+    tprev = jnp.asarray(
+        _np.concatenate([ts_np[1:], [-1]]), jnp.int32
+    )
     step_rngs = jax.random.split(rng, ts.shape[0])
 
     def body(x, inp):
-        t_scalar, step_rng = inp
+        t_scalar, tp_scalar, step_rng = inp
         t = jnp.full((shape[0],), t_scalar, jnp.int32)
-        out = ddim_sample(sched, model_fn, x, t, step_rng, clip_denoised, eta)
+        tp = jnp.full((shape[0],), tp_scalar, jnp.int32)
+        out = ddim_sample(
+            sched, model_fn, x, t, step_rng, clip_denoised, eta, t_prev=tp
+        )
         return out["sample"], None
 
-    x, _ = jax.lax.scan(body, x, (ts, step_rngs))
+    x, _ = jax.lax.scan(body, x, (ts, tprev, step_rngs))
     return x
 
 

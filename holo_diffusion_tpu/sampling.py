@@ -51,7 +51,10 @@ def sample_random_voxel_features(
     )
     sched = _schedule(model)
     loop = gd.ddim_sample_loop if use_ddim else gd.p_sample_loop
-    kwargs = {} if use_ddim else {"max_iter": max_iter}
+    # max_iter = number of UNet evaluations in both modes. DDPM: reference
+    # `max_iter` truncation (gaussian_diffusion.py:608-609). DDIM: the DDIM
+    # paper's strided accelerated sampler (still covers T-1..0).
+    kwargs = {"num_steps": max_iter} if use_ddim else {"max_iter": max_iter}
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec

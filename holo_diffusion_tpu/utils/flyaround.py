@@ -155,6 +155,8 @@ def render_flyaround(
     seed: int = 0,
     shaded_depth_method: str = "gradient",  # gradient | pointcloud | mesh
     voxel_features: Optional[jnp.ndarray] = None,
+    sample_use_ddim: bool = False,
+    sample_max_iter: Optional[int] = None,
 ) -> Dict[str, str]:
     """The inference driver (flyaround.py:44-298).
 
@@ -200,12 +202,18 @@ def render_flyaround(
             assert voxel_features.ndim == 5 and voxel_features.shape[0] == 1
         elif progressive_sampling_steps_per_render > 0:
             progressive_gen = sample_random_voxel_features_progressive(
-                model, params, sample_rng
+                model, params, sample_rng, max_iter=sample_max_iter
             )
             voxel_features = next(progressive_gen)
         else:
-            logger.info("sampling voxel grid via DDPM ...")
-            voxel_features = sample_random_voxel_features(model, params, sample_rng)
+            logger.info(
+                "sampling voxel grid via %s ...",
+                "DDIM" if sample_use_ddim else "DDPM",
+            )
+            voxel_features = sample_random_voxel_features(
+                model, params, sample_rng,
+                max_iter=sample_max_iter, use_ddim=sample_use_ddim,
+            )
     else:
         # pool ONCE from the source views — the grid is constant along the
         # trajectory (the reference recomputes it per forward; pooling here is

@@ -102,6 +102,14 @@ def test_render_flyaround_sample_mode(tmp_path):
     )
     assert "images_render" in out2 and os.path.exists(out2["images_render"])
 
+    # accelerated strided-DDIM sampling (use_ddim=true max_iter=N in the CLI)
+    out3 = render_flyaround(
+        model, params, str(tmp_path / "ddim"), sample_mode=True,
+        n_flyaround_poses=2, trajectory_distance=4.0,
+        sample_use_ddim=True, sample_max_iter=3,
+    )
+    assert "images_render" in out3 and os.path.exists(out3["images_render"])
+
 
 @pytest.mark.slow
 def test_render_flyaround_reconstruction_mode(tmp_path):
