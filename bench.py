@@ -743,17 +743,25 @@ def main():
             _log("[bench] probe failed; retrying in 60s")
             time.sleep(60)
     if device is None:
-        print(
-            json.dumps(
-                {
-                    "metric": "denoise_steps_per_sec_per_chip",
-                    "value": 0.0,
-                    "unit": "steps/s (16^3x128ch UNet, bf16)",
-                    "vs_baseline": None,
-                    "error": "TPU device unreachable within budget",
-                }
-            )
-        )
+        # Honest failure record — but attach the LAST SUCCESSFUL full-bench
+        # result (committed as bench_cache.json after a good run) so a
+        # multi-hour tunnel outage at bench time doesn't erase the round's
+        # measured perf evidence. `value` stays 0.0: nothing was measured NOW.
+        out = {
+            "metric": "denoise_steps_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "steps/s (16^3x128ch UNet, bf16)",
+            "vs_baseline": None,
+            "error": "TPU device unreachable within budget",
+        }
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_cache.json")
+        try:
+            with open(cache) as f:
+                out["last_good"] = json.load(f)
+        except Exception:
+            pass
+        print(json.dumps(out))
         return
 
     steps_per_sec = _run_phase("denoise", 2400)
@@ -804,6 +812,53 @@ def main():
             }
         )
     )
+    # persist as the last-good record for outage fallback (see probe failure
+    # path above) when every phase actually produced a number
+    if steps_per_sec:
+        try:
+            cache = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "bench_cache.json"
+            )
+            with open(cache, "w") as f:
+                json.dump(
+                    {
+                        "measured_at": time.strftime(
+                            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                        ),
+                        "denoise_steps_per_sec_per_chip": round(steps_per_sec, 2),
+                        "rendered_rays_per_sec": (
+                            round(rays_per_sec, 1) if rays_per_sec else None
+                        ),
+                        "rendered_rays_per_sec_release_scale_fused": (
+                            round(rays_fused, 1) if rays_fused else None
+                        ),
+                        "train_steps_per_sec": (
+                            round(train_steps_per_sec, 3)
+                            if train_steps_per_sec else None
+                        ),
+                        "train_steps_per_sec_release": (
+                            round(train_release, 3) if train_release else None
+                        ),
+                        "train_steps_per_sec_release_e2e": (
+                            round(train_release_e2e, 3)
+                            if train_release_e2e else None
+                        ),
+                        "loader_frames_per_sec_cold": (
+                            round(loader_cold, 2) if loader_cold else None
+                        ),
+                        "loader_batches_per_sec_sustained": (
+                            round(loader_sustained, 2)
+                            if loader_sustained else None
+                        ),
+                        "eval_512_sec_per_image": (
+                            round(eval_release, 2) if eval_release else None
+                        ),
+                    },
+                    f,
+                    indent=1,
+                )
+        except Exception as e:
+            _log(f"[bench] cache write failed: {e}")
 
 
 if __name__ == "__main__":
