@@ -3,13 +3,16 @@
 paper's headline metric; reference README.md:47).
 
     python evaluate_samples.py exp_dir=./experiments/hydrant_release \
-        num_samples=20 poses_per_sample=4 extractor=vgg \
-        vgg_weights_path=/path/vgg16_features.pth
+        num_samples=20 poses_per_sample=4 extractor=inception \
+        weights_path=/path/pt_inception-2015-12-05.pth
 
-With no VGG weights available, `extractor=random_vgg` exercises the full
-protocol with a randomly initialized extractor (smoke test; numbers are not
-meaningful quality scores). VGG numbers are labeled VGG-FID — not comparable
-to the paper's Inception-FID tables.
+extractor=inception + the pytorch-fid pt_inception state_dict produces the
+STANDARD paper-comparable Inception-FID/KID (flax FID-InceptionV3,
+models/inception.py). extractor=vgg + torchvision vgg16 weights reports
+VGG-FID (a different scale, labeled as such). With no weights available,
+`extractor=random_vgg` / `random_inception` exercise the full protocol with
+a randomly initialized extractor (smoke test; numbers are not meaningful
+quality scores).
 """
 import argparse
 import logging
@@ -34,7 +37,11 @@ def main():
     poses_per_sample = opts.pop("poses_per_sample", 4)
     trajectory_distance = opts.pop("trajectory_distance", 15.0)
     extractor = opts.pop("extractor", "random_vgg")
-    vgg_weights_path = opts.pop("vgg_weights_path", None)
+    # `weights_path` is the generic name (inception or vgg state_dict);
+    # `vgg_weights_path` stays as a back-compat alias
+    vgg_weights_path = opts.pop(
+        "weights_path", opts.pop("vgg_weights_path", None)
+    )
     n_real = opts.pop("n_real", None)
     max_iter = opts.pop("max_iter", None)
     render_size = opts.pop("render_size", None)

@@ -143,7 +143,35 @@ def _make_feature_fn(
             jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3))
         )
         return vgg_pooled_feature_fn(vgg_vars), "random_vgg"
-    raise ValueError(f"unknown extractor {extractor!r} (vgg | random_vgg)")
+    if extractor in ("inception", "random_inception"):
+        from .evaluation_fid import inception_pooled_feature_fn
+        from .models.inception import (
+            FIDInceptionV3,
+            inception_params_from_torch,
+        )
+
+        if extractor == "inception":
+            if not vgg_weights_path:
+                raise ValueError(
+                    "extractor='inception' needs weights_path (pytorch-fid "
+                    "pt_inception state_dict); use 'random_inception' for a "
+                    "weights-free protocol smoke test"
+                )
+            import torch
+
+            sd = torch.load(
+                vgg_weights_path, map_location="cpu", weights_only=True
+            )
+            variables = inception_params_from_torch(sd)
+            return inception_pooled_feature_fn(variables), "inception"
+        variables = FIDInceptionV3().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3))
+        )
+        return inception_pooled_feature_fn(variables), "random_inception"
+    raise ValueError(
+        f"unknown extractor {extractor!r} "
+        "(vgg | random_vgg | inception | random_inception)"
+    )
 
 
 def evaluate_samples(
@@ -198,7 +226,9 @@ def evaluate_samples(
         "num_samples": num_samples,
         "poses_per_sample": poses_per_sample,
         "extractor": label,
-        "comparable_to_inception_fid": False,
+        # True only for the real FID-InceptionV3 with imported weights —
+        # those numbers live on the paper's Inception-FID scale
+        "comparable_to_inception_fid": label == "inception",
     }
     if dump_path:
         os.makedirs(os.path.dirname(dump_path) or ".", exist_ok=True)

@@ -157,3 +157,24 @@ def vgg_pooled_feature_fn(vgg_variables, min_input_size: int = 64):
     return lambda imgs: np.asarray(
         feats(vgg_variables, jnp.asarray(imgs, jnp.float32))
     )
+
+
+def inception_pooled_feature_fn(inception_variables):
+    """The STANDARD FID feature_fn: FID-patched InceptionV3 pool3 (2048-d),
+    inputs resized to 299² inside the model (models/inception.py). With the
+    published pt_inception weights these are paper-comparable Inception-FID
+    numbers; with random init it is a protocol smoke extractor."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.inception import FIDInceptionV3
+
+    model = FIDInceptionV3()
+
+    @jax.jit
+    def feats(v, x):
+        return model.apply(v, x)
+
+    return lambda imgs: np.asarray(
+        feats(inception_variables, jnp.asarray(imgs, jnp.float32))
+    )

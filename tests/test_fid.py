@@ -123,3 +123,41 @@ def test_evaluate_samples_end_to_end():
     assert np.isfinite(res["random_vgg_fid"]) and res["random_vgg_fid"] >= 0
     assert np.isfinite(res["random_vgg_kid_mean"])
     assert res["comparable_to_inception_fid"] is False
+
+
+@pytest.mark.slow
+def test_evaluate_samples_inception_extractor():
+    """The STANDARD-protocol extractor leg: random-init FID-InceptionV3
+    (2048-d pool3; real weights swap in via extractor='inception'
+    weights_path=pt_inception...). Labels must mark random init as NOT
+    paper-comparable."""
+    import jax
+
+    from holo_diffusion_tpu.data import make_synthetic_scene
+    from holo_diffusion_tpu.evaluate_samples import evaluate_samples
+    from holo_diffusion_tpu.models.holo_model import HoloDiffusionModel
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_flyaround import TINY
+
+    model = HoloDiffusionModel(**TINY)
+    scenes = [make_synthetic_scene(n_views=2, image_size=12, seed=7)]
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        camera=scenes[0].camera,
+        image_rgb=scenes[0].image_rgb,
+        fg_probability=scenes[0].fg_probability,
+        mask_crop=scenes[0].mask_crop,
+        training=True,
+        rng=jax.random.PRNGKey(1),
+    )
+    res = evaluate_samples(
+        model, variables, scenes,
+        num_samples=1, poses_per_sample=2,
+        extractor="random_inception", rng=jax.random.PRNGKey(2),
+        kid_subset_size=2,
+    )
+    assert res["extractor"] == "random_inception"
+    assert np.isfinite(res["random_inception_fid"])
+    assert res["comparable_to_inception_fid"] is False
