@@ -12,11 +12,13 @@ generic over the feature extractor:
                                (Binkowski et al. 2018, the standard protocol)
   * `fid_kid_between_image_sets` — end-to-end on two image stacks
 
-The standard protocol uses InceptionV3 pool3 features; those weights (and
-torchvision) are unavailable offline, so callers pass any `feature_fn`
-(e.g. `models.lpips.VGG16Features` with imported weights — label such
-numbers "VGG-FID", they are not comparable to Inception-FID). The metric
-math itself is extractor-agnostic and tested against closed forms.
+The standard protocol uses InceptionV3 pool3 features: the FID-patched
+architecture is implemented in `models/inception.py` (use
+`inception_pooled_feature_fn` with imported pt_inception weights for
+paper-comparable numbers; the weights themselves are unavailable in this
+zero-egress env). `vgg_pooled_feature_fn` is the lighter fallback — label
+such numbers "VGG-FID", they are not comparable to Inception-FID. The
+metric math itself is extractor-agnostic and tested against closed forms.
 """
 from __future__ import annotations
 
