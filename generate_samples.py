@@ -45,6 +45,8 @@ def main():
     # evals — the fast-preview/serving path)
     use_ddim = opts.pop("use_ddim", False)
     max_iter = opts.pop("max_iter", None)
+    # eval-only occupancy empty-space skip for the flyaround renders
+    empty_space_skip = opts.pop("empty_space_skip", False)
     if opts:
         raise ValueError(f"unknown args: {list(opts)}")
 
@@ -105,6 +107,7 @@ def main():
             voxel_features=grids.get(i),
             sample_use_ddim=use_ddim,
             sample_max_iter=max_iter,
+            empty_space_skip=empty_space_skip,
         )
         logging.info(f"{name}: {out}")
 

@@ -311,6 +311,18 @@ class HoloDiffusionModel(nn.Module):
         v, _ = self.denoise(grid[None], training=False, rng=None)
         return v[0]
 
+    def query_density(
+        self, voxel_grid: jnp.ndarray, points_world: jnp.ndarray
+    ) -> jnp.ndarray:
+        """RAW (pre-relu) densities at world points, (..., 1) -> (...,).
+
+        One batched implicit-function call — the probe pass of the eval-only
+        occupancy-grid empty-space skip (ops/occupancy.py)."""
+        d, _, _ = self.implicit_function(
+            voxel_grid, points_world[..., None, :], None
+        )
+        return d[..., 0, 0]
+
     def render_rays(
         self,
         voxel_grid: jnp.ndarray,

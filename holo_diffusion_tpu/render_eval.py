@@ -54,6 +54,41 @@ def _on_accelerator() -> bool:
     return jax.default_backend() != "cpu"
 
 
+def compute_occupancy(
+    model: HoloDiffusionModel,
+    variables,
+    voxel_grid: jnp.ndarray,
+    resolution: int = 64,
+    threshold: float = 0.0,
+    dilate: int = 1,
+) -> jnp.ndarray:
+    """Probe pass of the eval-only empty-space skip (ops/occupancy.py):
+    ((r, r, r) bool occupancy of the decoded density field, scalar bool
+    `outside_occupied` — the density of zero features, i.e. whether space
+    outside the voxel volume contributes). One implicit-fn call over a
+    voxel-center lattice; compute once per grid, reuse across views."""
+    from .ops.occupancy import occupancy_from_density
+    from .ops.voxel import voxel_coord_grid
+
+    @jax.jit
+    def probe(variables, voxel_grid):
+        pts = voxel_coord_grid(resolution, model.volume_extent)
+        # last probe point sits far outside the volume: features sample to
+        # zero there, so its raw density is the constant the density net
+        # emits for empty space (the bias path)
+        far_out = jnp.full((1, 3), 1e6, jnp.float32)
+        raw = model.apply(
+            variables, voxel_grid,
+            jnp.concatenate([pts.reshape(-1, 3), far_out]),
+            method=HoloDiffusionModel.query_density,
+        )
+        lattice = raw[:-1].reshape(resolution, resolution, resolution)
+        outside_occupied = raw[-1] > threshold
+        return occupancy_from_density(lattice, threshold, dilate), outside_occupied
+
+    return probe(variables, voxel_grid)
+
+
 def render_image_chunked(
     model: HoloDiffusionModel,
     variables,
@@ -64,6 +99,11 @@ def render_image_chunked(
     chunk_size_grid: Optional[int] = None,
     chunk_renderer=None,
     chunk_autoscale: bool = True,
+    empty_space_skip: bool = False,
+    occupancy: Optional[jnp.ndarray] = None,
+    occupancy_resolution: int = 64,
+    occupancy_threshold: float = 0.0,
+    occupancy_probes: int = 128,
 ) -> Dict[str, np.ndarray]:
     """Render one camera densely in ray chunks.
 
@@ -110,6 +150,30 @@ def render_image_chunked(
     if chunk_renderer is None:
         chunk_renderer = make_chunk_renderer(model, variables)
 
+    # eval-only empty-space skip (ops/occupancy.py): tighten each chunk's
+    # per-ray interval to the occupied segment before rendering. `occupancy`
+    # can be passed in precomputed (flyaround reuses one mask for all poses).
+    tighten = None
+    if empty_space_skip or occupancy is not None:
+        if occupancy is None:
+            occupancy = compute_occupancy(
+                model, variables, voxel_grid,
+                occupancy_resolution, occupancy_threshold,
+            )
+        # accept a bare (r, r, r) mask (outside treated empty) or the
+        # (mask, outside_occupied) pair compute_occupancy returns
+        occ_mask, outside_occ = (
+            occupancy if isinstance(occupancy, tuple) else (occupancy, False)
+        )
+        from .ops.occupancy import tighten_ray_bundle
+
+        tighten = jax.jit(
+            lambda b, occ, out_occ: tighten_ray_bundle(
+                b, occ, model.volume_extent, n_probe=occupancy_probes,
+                outside_occupied=out_occ,
+            )
+        )
+
     # keep chunk outputs ON DEVICE and fetch once at the end: jax's async
     # dispatch then pipelines all chunk programs through the (high-latency)
     # transport instead of a blocking host round-trip per chunk
@@ -117,6 +181,8 @@ def render_image_chunked(
     for ci in range(n_chunks):
         sl = slice(ci * rays_per_chunk, (ci + 1) * rays_per_chunk)
         chunk = jax.tree.map(lambda x: x[:, sl], padded)
+        if tighten is not None:
+            chunk = tighten(chunk, occ_mask, outside_occ)
         out = chunk_renderer(voxel_grid, chunk)
         feats.append(out.features[0])
         depths.append(out.depths[0])

@@ -157,6 +157,7 @@ def render_flyaround(
     voxel_features: Optional[jnp.ndarray] = None,
     sample_use_ddim: bool = False,
     sample_max_iter: Optional[int] = None,
+    empty_space_skip: bool = False,
 ) -> Dict[str, str]:
     """The inference driver (flyaround.py:44-298).
 
@@ -241,17 +242,32 @@ def render_flyaround(
         and model.sampling_mode_evaluation == "full_grid"
     )
     if use_chunked:
-        from ..render_eval import make_chunk_render_fn, render_image_chunked
+        from ..render_eval import (
+            compute_occupancy,
+            make_chunk_render_fn,
+            render_image_chunked,
+        )
 
         chunk_fn = make_chunk_render_fn(model)
+        # eval-only empty-space skip (ops/occupancy.py): probe the density
+        # field once per grid and reuse the occupancy for every pose of the
+        # trajectory (progressive mode re-probes per grid update below)
+        occ_cache = {"grid_id": None, "occ": None}
 
         def render_one(params, camera: PerspectiveCameras, v, step_rng):
+            occ = None
+            if empty_space_skip:
+                if occ_cache["grid_id"] != id(v):
+                    occ_cache["occ"] = compute_occupancy(model, params, v[0])
+                    occ_cache["grid_id"] = id(v)
+                occ = occ_cache["occ"]
             out = render_image_chunked(
                 model,
                 params,
                 camera,
                 v[0],
                 chunk_renderer=lambda g, b: chunk_fn(params, g, b),
+                occupancy=occ,
             )
             return {k: val[None] for k, val in out.items()}
 

@@ -176,3 +176,11 @@ def test_render_flyaround_chunked(tmp_path):
     )
     assert "images_render" in out and os.path.exists(out["images_render"])
     assert os.path.exists(out["masks_render"])
+
+    # occupancy empty-space skip: one density probe per grid, reused across
+    # the trajectory's poses (ops/occupancy.py; eval-only)
+    out2 = render_flyaround(
+        model, params, str(tmp_path / "skip"), sample_mode=True,
+        n_flyaround_poses=2, trajectory_distance=4.0, empty_space_skip=True,
+    )
+    assert "images_render" in out2 and os.path.exists(out2["images_render"])

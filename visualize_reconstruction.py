@@ -36,6 +36,8 @@ def main():
     seed = opts.pop("seed", 0)
     # render through the EMA parameters (requires training with ema_rate > 0)
     use_ema = opts.pop("use_ema", False)
+    # eval-only occupancy empty-space skip for the flyaround renders
+    empty_space_skip = opts.pop("empty_space_skip", False)
     if opts:
         raise ValueError(f"unknown args: {list(opts)}")
 
@@ -65,6 +67,7 @@ def main():
             n_flyaround_poses=n_flyaround_poses,
             trajectory_type=trajectory_type,
             seed=seed,
+            empty_space_skip=empty_space_skip,
         )
         logging.info(f"sequence_{si:03d}: {out}")
 
