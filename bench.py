@@ -623,17 +623,29 @@ def bench_train_release_e2e():
             yield jax.tree.map(lambda *xs: jnp.stack(xs), *group)
 
     _log("[bench] compiling + warming the e2e loop ...")
+    from collections import deque
+
     rng = jax.random.PRNGKey(2)
     it = iter(AsyncLoader(gen(), prefetch=2, transfer=jax.device_put))
     t0 = None
     done = 0
+    # one-dispatch-deferred metric fetch, matching Experiment's train loop:
+    # the host reads step N-1's metrics while step N executes, so the fetch
+    # latency (tunnel round-trip) overlaps device compute
+    pending = deque()
     for b in it:
         rng, r = jax.random.split(rng)
         state, metrics = step(state, b, r)
-        float(metrics["objective"])  # the real loop fetches metrics per step
+        pending.append(metrics["objective"])
+        if len(pending) > 1:
+            float(pending.popleft())
         done += 1
         if done == N_WARM:
+            while pending:
+                float(pending.popleft())
             t0 = time.perf_counter()
+    while pending:
+        float(pending.popleft())
     dt = time.perf_counter() - t0
     _log(f"[bench] e2e steady state: {N * K} steps in {dt:.2f}s "
          f"(steps_per_dispatch={K})")

@@ -62,15 +62,54 @@ def load_config(
     return cfg
 
 
+# Top-level keys the framework reads via cfg.get/cfg[...] that are valid to
+# set from the CLI even when absent from the YAML (the reference's hydra
+# struct mode knows these from the Configurable dataclass schema;
+# experiment.py:316-318). Keys present in the loaded YAML are always valid.
+_KNOWN_ROOT_KEYS = frozenset({
+    "exp_dir", "seed", "detect_anomaly",
+    "disable_testing", "disable_validation",
+    "steps_per_dispatch", "ema_rate", "eval_use_ema",
+    "visualize_denoising_video",
+    "compact_sources", "compact_val", "compact_drop_depth",
+    "compact_host_resize", "compact_scene_cache", "compact_cached_scenes",
+    "lpips_vgg_weights_path", "lpips_lin_weights_path",
+    "data_source_class_type", "data_source_ImplicitronDataSource_args",
+    "model_factory_class_type", "model_factory_ImplicitronModelFactory_args",
+    "optimizer_factory_class_type",
+    "optimizer_factory_ImplicitronOptimizerFactory_args",
+    "training_loop_class_type", "training_loop_ImplicitronTrainingLoop_args",
+})
+
+
 def apply_dotted_overrides(cfg: Dict[str, Any], overrides: List[str]) -> Dict[str, Any]:
-    """Apply `a.b.c=value` overrides (values parsed as YAML literals)."""
+    """Apply `a.b.c=value` overrides (values parsed as YAML literals).
+
+    The root key must exist in the config or be a known framework key —
+    hydra's struct mode rejects typos the same way (a silently-accepted
+    `max_epochs=2` at the top level would train with the config's nested
+    `training_loop_*.max_epochs` instead). Prefix with `+` to force-add a
+    novel key (hydra's `+key=value` surface)."""
     for ov in overrides:
         if "=" not in ov:
             raise ValueError(f"override must be key=value, got {ov!r}")
         key, _, raw = ov.partition("=")
+        force_add = key.startswith("+")
+        if force_add:
+            key = key[1:]
         value = yaml.safe_load(raw)
-        node = cfg
         parts = key.split(".")
+        if not force_add and parts[0] not in cfg and parts[0] not in _KNOWN_ROOT_KEYS:
+            hint = ""
+            for root, node in cfg.items():
+                if isinstance(node, dict) and parts[0] in node:
+                    hint = f" — did you mean {root}.{key}?"
+                    break
+            raise ValueError(
+                f"unknown config key {parts[0]!r} in override {ov!r}{hint} "
+                f"(use +{key}=... to force-add a new key)"
+            )
+        node = cfg
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = value

@@ -13,6 +13,7 @@ from __future__ import annotations
 import contextlib
 import logging
 import os
+from collections import deque
 from typing import Optional
 
 import jax
@@ -546,15 +547,33 @@ class Experiment:
                 if self.loop_args.get("profile") and epoch == start_epoch
                 else contextlib.nullcontext()
             )
+            # Metric fetch is deferred by one dispatch: device_get(step N)
+            # would block the host until step N finishes, serializing host
+            # and device (the reference pays the same sync at
+            # training_loop.py:490-494 — CUDA sync on the loss read). Holding
+            # one pending metrics pytree lets the host dispatch step N+1 (and
+            # the AsyncLoader H2D of N+2) while N executes; stats ordering is
+            # preserved by the FIFO. Status-line prints flush fully so the
+            # printed averages include the current step.
+            pending = deque()
+
+            def _flush(keep: int) -> None:
+                while len(pending) > keep:
+                    stats.update(jax.device_get(pending.popleft()), "train")
+
             with profile_ctx:
                 for it, batch in enumerate(
                     AsyncLoader(_group_steps(loader), transfer=transfer)
                 ):
                     rng, step_rng = jax.random.split(rng)
                     state, metrics = train_step(state, batch, step_rng)
-                    stats.update(jax.device_get(metrics), "train")
+                    pending.append(metrics)
                     if print_interval and it % print_interval == 0:
+                        _flush(0)
                         logger.info(stats.status_line("train"))
+                    else:
+                        _flush(1)
+                _flush(0)
 
             # validation epoch (EVALUATION mode, training_loop.py:253-265)
             if (

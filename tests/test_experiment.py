@@ -39,6 +39,26 @@ def test_load_config_and_overrides():
     assert cfg2["seed"] == 7
 
 
+def test_override_rejects_unknown_root_key():
+    """Struct-mode typo protection (hydra parity): a top-level key that is
+    neither in the YAML nor in the known schema raises, with a relocation
+    hint when the key exists one level down (e.g. `max_epochs=2` silently
+    creating a dead key instead of setting
+    training_loop_ImplicitronTrainingLoop_args.max_epochs)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="training_loop_Implicitron"):
+        load_config("hydrant.yaml", ["max_epochs=2"])
+    with pytest.raises(ValueError, match="unknown config key"):
+        load_config("hydrant.yaml", ["definitely_a_typo=1"])
+    # hydra's +key=value force-add escape
+    cfg = load_config("hydrant.yaml", ["+my_extension=5"])
+    assert cfg["my_extension"] == 5
+    # known schema keys are settable even when absent from the YAML
+    cfg = load_config("hydrant.yaml", ["compact_sources=true", "ema_rate=0.9"])
+    assert cfg["compact_sources"] is True and cfg["ema_rate"] == 0.9
+
+
 def test_config_inheritance_category():
     cfg = load_config("apple.yaml")
     m = model_args_from_config(cfg)
