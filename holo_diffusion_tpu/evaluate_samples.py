@@ -10,15 +10,21 @@ the pooled render set against the dataset's (preprocessed, white-background)
 frames with `evaluation_fid.fid_kid_between_image_sets`.
 
 Feature extractors (the metric machinery is extractor-generic):
+  * "inception"  — the STANDARD FID extractor: FID-InceptionV3 pool3
+                   (2048-d) in flax (`models/inception.py`, torch-parity
+                   tested). Needs a pytorch-fid `pt_inception` state_dict
+                   via `weights_path` (this zero-egress env ships none, so
+                   paper-comparable numbers still require importing the
+                   published weights once).
+  * "random_inception" — same architecture, random init: protocol smoke
+                   test only; labeled accordingly.
   * "vgg"        — VGG16 relu5_3 global-average-pool features from imported
                    torchvision weights (`vgg_weights_path`). Numbers are
                    labeled "VGG-FID"/"VGG-KID": NOT comparable to the
                    standard InceptionV3-pool3 FID in the paper's tables.
   * "random_vgg" — randomly initialized VGG16 (no weights needed): a
                    protocol smoke test only; labeled accordingly.
-Standard Inception-FID needs InceptionV3 pool3 weights, unavailable offline;
-supply imported VGG weights and report VGG-FID, or plug a feature_fn in
-programmatically via `feature_fn=`.
+A custom `feature_fn=` can also be plugged in programmatically.
 """
 from __future__ import annotations
 

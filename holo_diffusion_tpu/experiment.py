@@ -75,6 +75,11 @@ class Experiment:
         self.cfg = cfg
         self.seed = cfg.get("seed", 42)
         self.exp_dir = cfg.get("exp_dir", "./experiments/run")
+        # surface any config keys nothing consumes (a user feeding a genuine
+        # reference expconfig.yaml must see which knobs don't carry over)
+        from .config.config import audit_unconsumed_keys
+
+        audit_unconsumed_keys(cfg)
         seed_all_random_engines(self.seed)
         if cfg.get("detect_anomaly", False):
             # jax_debug_nans (reference detect_anomaly, experiment.py:181-184)

