@@ -8,7 +8,10 @@ on the hydrant-scale denoiser (16^3 latent, 128-ch IO, model_channels 64,
 channel_mult (1,1,2,4,8), attention at ds 4/8 — configs/hydrant.yaml:220-245).
 `vs_baseline` is null — the reference publishes no numbers (BASELINE.md).
 
-Prints ONE JSON line on stdout; diagnostics on stderr.
+Prints a CUMULATIVE JSON record line after every phase (the driver keeps the
+last parseable stdout line, so a kill mid-run still captures every completed
+phase — VERDICT r3 missing #1); bench_cache.json mirrors the latest record.
+Release-scale phases run FIRST. Diagnostics go to stderr.
 
     python bench.py                 # all phases via subprocesses
     python bench.py --phase denoise # run one phase inline (internal)
@@ -44,8 +47,13 @@ def _run_phase(name, seconds, env=None):
         if proc.returncode != 0:
             _log(f"[bench] {name}: exited {proc.returncode}")
             return None
-        value = float(proc.stdout.strip().splitlines()[-1])
-        _log(f"[bench] {name}: {value:.3f} in {time.time() - t0:.1f}s")
+        last = proc.stdout.strip().splitlines()[-1]
+        try:
+            value = float(last)
+        except ValueError:
+            value = json.loads(last)  # dict-valued phases (sample_batched)
+            assert isinstance(value, dict)
+        _log(f"[bench] {name}: {value} in {time.time() - t0:.1f}s")
         return value
     except subprocess.TimeoutExpired:
         _log(f"[bench] {name}: TIMED OUT after {seconds}s (killed)")
@@ -120,6 +128,74 @@ def _probe_device():
     x = jnp.ones((256, 256))
     float((x @ x).sum())
     return 1.0
+
+
+def bench_sample_batched():
+    """Per-chip BATCHED sampling throughput (VERDICT r3 missing #4): B voxel
+    grids per device through one full 1000-step DDPM `p_sample_loop` — the
+    serving metric, samples/min/chip. The reference samples 1 grid per GPU
+    (holo_diffusion_model.py:188-199, voxel_batch_size=1 assert :326); here
+    batching the 16^3x128ch UNet at B=8/32 engages the MXU that B=1 leaves
+    ~90% idle (r3 denoise MFU 9.4%). Measures the REAL sampler loop
+    (gd.p_sample_loop lax.scan), not a derived per-step number; prints a
+    JSON dict of samples/min/chip per B."""
+    import json as _json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from holo_diffusion_tpu.models import diffusion as gd
+    from holo_diffusion_tpu.models.unet3d import UNetModel3D
+
+    model = UNetModel3D(
+        in_channels=128, model_channels=64, out_channels=128,
+        num_res_blocks=2, channel_mult=(1, 1, 2, 4, 8),
+        attention_resolutions=(4, 8), num_heads=2, use_remat=False,
+        dtype=jnp.bfloat16,
+    )
+    x1 = jnp.zeros((1, 16, 16, 16, 128))
+    t1 = jnp.zeros((1,), jnp.int32)
+    _log("[bench] init UNet params ...")
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x1, t1)
+    jax.block_until_ready(params)
+    sched = gd.make_named_schedule("linear", 1000)
+
+    results = {}
+    for B in (1, 8, 32):
+        shape = (B, 16, 16, 16, 128)
+
+        @jax.jit
+        def run(params, rng):
+            return gd.p_sample_loop(
+                sched,
+                lambda xx, tt: model.apply(params, xx, tt),
+                shape, rng, clip_denoised=True,
+            )
+
+        _log(f"[bench] compiling full 1000-step loop B={B} ...")
+        rng = jax.random.PRNGKey(B)
+        out = run(params, rng)  # compile + warm
+        jax.block_until_ready(out)
+        times = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            out = run(params, jax.random.PRNGKey(100 + rep))
+            np.asarray(out).ravel()[0]
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        t_loop = times[len(times) // 2]
+        spm = 60.0 * B / t_loop
+        _log(f"[bench] B={B}: {t_loop:.2f}s / {B} grids -> "
+             f"{spm:.1f} samples/min/chip "
+             f"(blocks {[round(t, 2) for t in times]})")
+        mfu = _mfu(run.lower(params, rng).compile(), t_loop,
+                   scan_body_iters=1000)
+        if mfu:
+            _log(f"[bench] B={B} sampling MFU ~{100 * mfu:.2f}% of bf16 peak")
+            results[f"sample_mfu_pct_b{B}"] = round(100 * mfu, 2)
+        results[f"samples_per_min_per_chip_b{B}"] = round(spm, 2)
+    return _json.dumps(results)
 
 
 def bench_denoise_step():
@@ -731,6 +807,7 @@ def main():
         fn = {
             "probe": _probe_device,
             "denoise": bench_denoise_step,
+            "sample_batched": bench_sample_batched,
             "render": bench_render_rays,
             "render_fused": bench_render_rays_fused,
             "train": bench_train_step,
@@ -741,16 +818,19 @@ def main():
             "eval_release": bench_eval_release,
         }[phase]
         out = fn()
-        print(out if phase == "probe" else float(out), flush=True)
+        if isinstance(out, str):  # dict-valued phases emit their own JSON
+            print(out, flush=True)
+        else:
+            print(out if phase == "probe" else float(out), flush=True)
         return
 
     # The tunnel's availability is flaky (multi-hour outages observed); retry
-    # the cheap probe for up to ~30 min before declaring the device gone, so
+    # the cheap probe for up to ~15 min before declaring the device gone, so
     # a transient blip at bench time doesn't zero out the whole record.
     device = None
-    probe_deadline = time.time() + 1800
+    probe_deadline = time.time() + 900
     while device is None and time.time() < probe_deadline:
-        device = _run_phase("probe", 600)
+        device = _run_phase("probe", 420)
         if device is None and time.time() < probe_deadline:
             _log("[bench] probe failed; retrying in 60s")
             time.sleep(60)
@@ -776,101 +856,82 @@ def main():
         print(json.dumps(out))
         return
 
-    steps_per_sec = _run_phase("denoise", 2400)
-    rays_per_sec = _run_phase("render", 1200)
-    rays_fused = _run_phase("render_fused", 1200)
-    train_steps_per_sec = _run_phase("train", 2400)
-    # host-pipeline phases run on CPU (no TPU contention)
+    # RELEASE phases first, base-scale last (VERDICT r3 missing #1: the r03
+    # artifact was killed before the release phases ran). After EVERY phase a
+    # cumulative record is printed to stdout AND bench_cache.json is
+    # rewritten, so a driver timeout mid-run still captures every phase that
+    # finished — the driver parses the LAST JSON line on stdout.
     cpu_env = {"JAX_PLATFORMS": "cpu"}
-    loader_cold = _run_phase("loader_cold", 900, env=cpu_env)
-    loader_sustained = _run_phase("loader_sustained", 900, env=cpu_env)
-    train_release = _run_phase("train_release", 3000)
-    train_release_e2e = _run_phase("train_release_e2e", 3000)
-    eval_release = _run_phase("eval_release", 2400)
-    print(
-        json.dumps(
-            {
-                "metric": "denoise_steps_per_sec_per_chip",
-                "value": round(steps_per_sec, 2) if steps_per_sec else 0.0,
-                "unit": "steps/s (16^3x128ch UNet, bf16)",
-                "vs_baseline": None,
-                "extra": {
-                    "rendered_rays_per_sec": (
-                        round(rays_per_sec, 1) if rays_per_sec else None
-                    ),
-                    "rendered_rays_per_sec_release_scale_fused": (
-                        round(rays_fused, 1) if rays_fused else None
-                    ),
-                    "train_steps_per_sec": (
-                        round(train_steps_per_sec, 3) if train_steps_per_sec else None
-                    ),
-                    "train_steps_per_sec_release": (
-                        round(train_release, 3) if train_release else None
-                    ),
-                    "train_steps_per_sec_release_e2e": (
-                        round(train_release_e2e, 3) if train_release_e2e else None
-                    ),
-                    "loader_frames_per_sec_cold": (
-                        round(loader_cold, 2) if loader_cold else None
-                    ),
-                    "loader_batches_per_sec_sustained": (
-                        round(loader_sustained, 2) if loader_sustained else None
-                    ),
-                    "eval_512_sec_per_image": (
-                        round(eval_release, 2) if eval_release else None
-                    ),
-                    "device": "probe_ok",
-                },
-            }
+    phases = [
+        # (phase, timeout_s, env, result_key, round_digits)
+        ("train_release", 2400, None, "train_steps_per_sec_release", 3),
+        ("train_release_e2e", 2400, None, "train_steps_per_sec_release_e2e", 3),
+        ("eval_release", 1800, None, "eval_512_sec_per_image", 2),
+        ("denoise", 1500, None, "denoise_steps_per_sec_per_chip", 2),
+        ("sample_batched", 1800, None, "samples_per_min_per_chip_b8", 2),
+        ("loader_sustained", 900, cpu_env, "loader_batches_per_sec_sustained", 2),
+        ("loader_cold", 900, cpu_env, "loader_frames_per_sec_cold", 2),
+        ("train", 1800, None, "train_steps_per_sec", 3),
+        ("render_fused", 1200, None,
+         "rendered_rays_per_sec_release_scale_fused", 1),
+        ("render", 1200, None, "rendered_rays_per_sec", 1),
+    ]
+    extra = {"device": "probe_ok"}
+    # overall wall budget: leave whatever the driver grants; phases that
+    # would start past the deadline are skipped (their key stays absent)
+    wall_budget = float(os.environ.get("BENCH_WALL_BUDGET_S", 7200))
+    t_start = time.time()
+    for i, (phase, budget, env, key, nd) in enumerate(phases):
+        remaining = wall_budget - (time.time() - t_start)
+        if remaining < 120:
+            _log(f"[bench] wall budget exhausted; skipping {phase} onward")
+            extra["skipped_for_budget"] = [p[0] for p in phases[i:]]
+            _emit_record(extra)
+            break
+        value = _run_phase(phase, min(budget, int(remaining)), env=env)
+        if isinstance(value, dict):
+            extra.update(value)
+        elif value is not None:
+            extra[key] = round(value, nd)
+        _emit_record(extra)
+
+
+def _emit_record(extra):
+    """Print the cumulative record as one JSON line (the driver keeps the
+    last parseable line) and mirror it to bench_cache.json."""
+    value = extra.get("denoise_steps_per_sec_per_chip")
+    metric = "denoise_steps_per_sec_per_chip"
+    unit = "steps/s (16^3x128ch UNet, bf16)"
+    if value is None:
+        # headline falls back to the first release number until the denoise
+        # phase lands (release phases run first by design)
+        value = extra.get("train_steps_per_sec_release")
+        metric = "train_steps_per_sec_release"
+        unit = "steps/s (hydrant release scale, 1 chip)"
+    rec = {
+        "metric": metric,
+        "value": value if value is not None else 0.0,
+        "unit": unit,
+        "vs_baseline": None,
+        "extra": dict(extra),
+    }
+    print(json.dumps(rec), flush=True)
+    measured = [k for k in extra
+                if k not in ("device", "skipped_for_budget")]
+    if not measured:
+        return  # never clobber the last-good cache with an empty record
+    try:
+        cache = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_cache.json"
         )
-    )
-    # persist as the last-good record for outage fallback (see probe failure
-    # path above) when every phase actually produced a number
-    if steps_per_sec:
-        try:
-            cache = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "bench_cache.json"
-            )
-            with open(cache, "w") as f:
-                json.dump(
-                    {
-                        "measured_at": time.strftime(
-                            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
-                        ),
-                        "denoise_steps_per_sec_per_chip": round(steps_per_sec, 2),
-                        "rendered_rays_per_sec": (
-                            round(rays_per_sec, 1) if rays_per_sec else None
-                        ),
-                        "rendered_rays_per_sec_release_scale_fused": (
-                            round(rays_fused, 1) if rays_fused else None
-                        ),
-                        "train_steps_per_sec": (
-                            round(train_steps_per_sec, 3)
-                            if train_steps_per_sec else None
-                        ),
-                        "train_steps_per_sec_release": (
-                            round(train_release, 3) if train_release else None
-                        ),
-                        "train_steps_per_sec_release_e2e": (
-                            round(train_release_e2e, 3)
-                            if train_release_e2e else None
-                        ),
-                        "loader_frames_per_sec_cold": (
-                            round(loader_cold, 2) if loader_cold else None
-                        ),
-                        "loader_batches_per_sec_sustained": (
-                            round(loader_sustained, 2)
-                            if loader_sustained else None
-                        ),
-                        "eval_512_sec_per_image": (
-                            round(eval_release, 2) if eval_release else None
-                        ),
-                    },
-                    f,
-                    indent=1,
-                )
-        except Exception as e:
-            _log(f"[bench] cache write failed: {e}")
+        payload = dict(extra)
+        payload["measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+        )
+        with open(cache, "w") as f:
+            json.dump(payload, f, indent=1)
+    except Exception as e:  # noqa: BLE001
+        _log(f"[bench] cache write failed: {e}")
 
 
 if __name__ == "__main__":

@@ -105,6 +105,22 @@ def load_set_lists(category_root: str, subset_name: str) -> Dict[str, List]:
         return json.load(f)
 
 
+def load_eval_batches_file(
+    category_root: str, subset_name: str
+) -> Optional[List[List]]:
+    """CO3Dv2 challenge eval batches: `eval_batches/eval_batches_{subset}.json`
+    is a list of batches of [sequence_name, frame_number, image_path]; the
+    first entry of each batch is the eval TARGET, the rest are the known
+    source frames (reference base.yaml:31 `load_eval_batches: true`)."""
+    path = os.path.join(
+        category_root, "eval_batches", f"eval_batches_{subset_name}.json"
+    )
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 # ---------------------------------------------------------------------------
 # image loading + box crop
 # ---------------------------------------------------------------------------
@@ -396,6 +412,26 @@ class CO3DSceneDataset(SceneDataset):
         idx = rng.choice(n, size=batch_size, replace=n < batch_size)
         return jax.tree.map(lambda x: np.asarray(x)[idx], scene)
 
+    def get_frames(self, seq_name: str, frame_numbers: List[int]) -> FrameData:
+        """Rows of `seq_name`'s scene selected by CO3D frame number, in the
+        requested order (eval-batch assembly)."""
+        idx_of = {
+            f.frame_number: i
+            for i, f in enumerate(self._frames_by_seq[seq_name])
+        }
+        if self._max_frames > 0:
+            idx_of = {k: v for k, v in idx_of.items() if v < self._max_frames}
+        missing = [fn for fn in frame_numbers if fn not in idx_of]
+        if missing:
+            raise KeyError(
+                f"frames {missing} of sequence {seq_name!r} are not in this "
+                f"split/dataset (eval batches must be assembled from the "
+                f"union dataset)"
+            )
+        scene = self.get_scene(self._seq_names.index(seq_name))
+        rows = np.asarray([idx_of[fn] for fn in frame_numbers])
+        return jax.tree.map(lambda x: np.asarray(x)[rows], scene)
+
 
 class CO3DDataProvider:
     """JsonIndexDatasetMapProviderV2 equivalent: category + subset split.
@@ -425,6 +461,8 @@ class CO3DDataProvider:
         exclude_sequence: Sequence[str] = (),
         limit_sequences_to: int = 0,
         sort_frames: bool = False,
+        load_eval_batches: bool = False,
+        n_known_frames_for_test: int = 0,
         max_cached_scenes: int = 16,
         compact_cache: bool = True,
         **_,
@@ -449,17 +487,18 @@ class CO3DDataProvider:
             load_depths=load_depths,
         )
 
-        def build(split: str) -> CO3DSceneDataset:
+        def build(*splits: str) -> CO3DSceneDataset:
             by_seq: Dict[str, List[CO3DFrame]] = {}
-            for entry in set_lists.get(split, []):
-                seq, frame_num = entry[0], entry[1]
-                if pick and seq not in pick:
-                    continue
-                if seq in exclude:
-                    continue
-                f = by_key.get((seq, frame_num))
-                if f is not None:
-                    by_seq.setdefault(seq, []).append(f)
+            for split in splits:
+                for entry in set_lists.get(split, []):
+                    seq, frame_num = entry[0], entry[1]
+                    if pick and seq not in pick:
+                        continue
+                    if seq in exclude:
+                        continue
+                    f = by_key.get((seq, frame_num))
+                    if f is not None:
+                        by_seq.setdefault(seq, []).append(f)
             if limit_sequences_to > 0:
                 by_seq = {
                     k: by_seq[k] for k in sorted(by_seq)[:limit_sequences_to]
@@ -477,6 +516,59 @@ class CO3DDataProvider:
 
         self.train = build("train")
         self.val = build("train" if test_on_train else "val")
+
+        # CO3D challenge eval protocol (reference base.yaml:23-31): dataset-
+        # provided eval batches replace the evaluator's own target selection,
+        # making per-sequence numbers comparable to published CO3D tables.
+        self.eval_batches: Optional[List[List[Tuple[str, int]]]] = None
+        self.n_known_frames_for_test = int(n_known_frames_for_test)
+        if load_eval_batches:
+            raw = load_eval_batches_file(category_root, subset_name)
+            if raw is None:
+                raise FileNotFoundError(
+                    f"load_eval_batches: no eval_batches/eval_batches_"
+                    f"{subset_name}.json under {category_root}"
+                )
+            kept = set(self.train._seq_names) | set(self.val._seq_names)
+            self.eval_batches = [
+                [(e[0], int(e[1])) for e in b]
+                for b in raw
+                if b and b[0][0] in kept  # respects pick/exclude/limit
+            ]
+            # batches may reference frames across splits (target in val,
+            # known frames in train) -> assemble from the split union
+            self._eval_source = build("train", "val", "test")
+            self._train_frame_numbers: Dict[str, List[int]] = {}
+            for entry in set_lists.get("train", []):
+                self._train_frame_numbers.setdefault(entry[0], []).append(
+                    int(entry[1])
+                )
+            logger.info(
+                f"CO3D {category}/{subset_name}: {len(self.eval_batches)} "
+                f"eval batches (n_known_frames_for_test="
+                f"{self.n_known_frames_for_test})"
+            )
+
         logger.info(
             f"CO3D {category}/{subset_name}: {len(self.train)} train sequences"
         )
+
+    def get_eval_batch(self, i: int) -> FrameData:
+        """Assemble eval batch `i` as a FrameData with the TARGET at row 0 and
+        the known source frames after it; `n_known_frames_for_test` extra
+        train-split frames of the same sequence are appended (reference
+        base.yaml:33 `n_known_frames_for_test`)."""
+        assert self.eval_batches is not None, "built without load_eval_batches"
+        batch = list(self.eval_batches[i])
+        seq = batch[0][0]
+        if any(s != seq for s, _ in batch):
+            raise ValueError(f"eval batch {i} spans multiple sequences")
+        nums = [fn for _, fn in batch]
+        if self.n_known_frames_for_test > 0:
+            have = set(nums)
+            extra = [
+                fn for fn in self._train_frame_numbers.get(seq, [])
+                if fn not in have
+            ][: self.n_known_frames_for_test]
+            nums = nums + extra
+        return self._eval_source.get_frames(seq, nums)

@@ -83,6 +83,7 @@ def write_synthetic_co3d(
     seed: int = 0,
     with_depth: bool = True,
     n_val_frames: int = 2,
+    n_known_per_eval_batch: int = 4,
 ) -> str:
     """Write the tree under `root/category`; returns `category`."""
     from PIL import Image
@@ -166,4 +167,24 @@ def write_synthetic_co3d(
         os.path.join(cat_dir, "set_lists", "set_lists_fewview_dev.json"), "w"
     ) as f:
         json.dump(set_lists, f)
+
+    # CO3Dv2 challenge eval protocol file (reference base.yaml:23-31,
+    # `load_eval_batches: true`): eval_batches_{subset}.json is a list of
+    # batches of [sequence_name, frame_number, image_path]; the FIRST entry
+    # is the eval target, the rest are the known source frames.
+    eval_batches = []
+    by_seq_split = {"train": {}, "val": {}}
+    for split in ("train", "val"):
+        for seq, fi, rel in set_lists[split]:
+            by_seq_split[split].setdefault(seq, []).append([seq, fi, rel])
+    for seq, targets in by_seq_split["val"].items():
+        known = by_seq_split["train"].get(seq, [])[:n_known_per_eval_batch]
+        for target in targets:
+            eval_batches.append([target] + known)
+    os.makedirs(os.path.join(cat_dir, "eval_batches"), exist_ok=True)
+    with open(
+        os.path.join(cat_dir, "eval_batches", "eval_batches_fewview_dev.json"),
+        "w",
+    ) as f:
+        json.dump(eval_batches, f)
     return category

@@ -118,10 +118,25 @@ def evaluate_new_view_synthesis(
     perceptual_fn: Optional[Callable] = None,
     dump_path: Optional[str] = None,
     seed: int = 0,
+    eval_batches: Optional[List[FrameData]] = None,
 ) -> Dict:
     """Few-view reconstruction eval: pool a grid from source views, render
-    held-out targets, score. Returns per-bin and overall aggregates."""
+    held-out targets, score. Returns per-bin and overall aggregates.
+
+    Target selection has two modes:
+      * `eval_batches` given — the CO3D challenge protocol (reference
+        base.yaml:23-31, `load_eval_batches: true`): each FrameData is a
+        dataset-provided batch with the TARGET at row 0 and the known source
+        frames after it (CO3DDataProvider.get_eval_batch). Per-sequence
+        numbers are then comparable to published CO3D eval tables.
+      * otherwise — seeded random targets per scene with the remaining
+        frames as sources (capped at `n_source_views`), for datasets without
+        an eval_batches file (synthetic scenes).
+    """
     rng = np.random.RandomState(seed)
+    if eval_batches is not None:
+        # route each provided batch through the shared per-target body below
+        scenes = eval_batches
     chunk_renderer = make_chunk_renderer(model, variables)
 
     @jax.jit
@@ -145,10 +160,15 @@ def evaluate_new_view_synthesis(
     records = []
     for si, scene in enumerate(scenes):
         n = scene.batch_size
-        targets = rng.choice(n, size=min(n_eval_targets_per_seq, n), replace=False)
+        if eval_batches is not None:
+            targets = [0]  # protocol: target first, known frames after
+        else:
+            targets = rng.choice(
+                n, size=min(n_eval_targets_per_seq, n), replace=False
+            )
         for ti in targets:
             sources = np.array([i for i in range(n) if i != ti])
-            if len(sources) > n_source_views:
+            if eval_batches is None and len(sources) > n_source_views:
                 sources = rng.choice(sources, n_source_views, replace=False)
             src = jax.tree.map(lambda x: x[jnp.asarray(sources)], scene)
             grid = pool(variables, src)
@@ -222,6 +242,9 @@ def evaluate_new_view_synthesis(
         "overall": agg(records),
         "per_bin": {k: agg(v) for k, v in bins.items()},
         "n_evals": len(records),
+        "protocol": (
+            "eval_batches" if eval_batches is not None else "random_targets"
+        ),
         "records": records,
     }
     if dump_path:

@@ -335,8 +335,19 @@ class Experiment:
                     "(train with ema_rate > 0)"
                 )
             state = state.replace(params=state.ema_params)
-        eval_ds = self.data.val if len(self.data.val) else self.data.train
-        scenes = eval_ds.iter_scenes()
+        # CO3D challenge protocol: when the provider loaded dataset-provided
+        # eval batches (load_eval_batches, base.yaml:23-31), evaluate exactly
+        # those target/known-frame sets instead of inventing targets
+        eval_batches = None
+        if getattr(self.data, "eval_batches", None):
+            eval_batches = [
+                self.data.get_eval_batch(i)
+                for i in range(len(self.data.eval_batches))
+            ]
+            scenes = []
+        else:
+            eval_ds = self.data.val if len(self.data.val) else self.data.train
+            scenes = eval_ds.iter_scenes()
         perceptual_fn = None
         lpips_vgg = self.cfg.get("lpips_vgg_weights_path")
         if lpips_vgg:
@@ -350,6 +361,7 @@ class Experiment:
             jax.device_get(state.variables()),
             scenes,
             perceptual_fn=perceptual_fn,
+            eval_batches=eval_batches,
             dump_path=os.path.join(
                 self.exp_dir, f"eval_results_epoch_{max(epoch, 0):08d}.json"
             ),

