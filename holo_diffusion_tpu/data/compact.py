@@ -19,19 +19,21 @@ Two host resize kernels (`host_resize`):
     uses for box-crop (native/csrc) — ~0.1 s/batch on one host core, and the
     same non-antialiased bilinear semantics as the reference's
     torch `F.interpolate` rescale (implicitron resnet extractor);
-  * "exact": the jitted `resize_image` (jax, antialiased) the on-device
-    extractor applies — kernel-exact vs the full-res device path, but
-    measured 2-6 s/batch on a 1-core host (jax.image.resize on CPU), which
-    would pace the loop.
+  * "exact": the jitted `resize_image` (jax) the on-device extractor applies
+    — kernel-exact vs the full-res device path (and, since resize_image went
+    antialias=False, also torch-`F.interpolate`-exact), but measured
+    2-6 s/batch on a 1-core host (jax.image.resize on CPU), which would pace
+    the loop.
 
 Approximation note (documented, opt-in via the `compact_sources` config key):
 the extractor also exposes its raw input "images"/"masks" to the view sampler
 at input resolution (feature_extractor.py:99-102); in compact mode those 4 of
 68 pooled channels are sampled from the 0.32x-prefiltered maps instead of the
 full-res originals, and u8 re-quantization adds <=0.2% per-pixel error. The
-ResNet feature channels are exact modulo that quantization ("exact" mode) or
-additionally carry the bilinear-vs-antialiased resize delta ("native" mode —
-which is the delta the reference itself has vs our device path).
+ResNet feature channels are exact modulo that quantization (both modes share
+the reference's non-antialiased bilinear since resize_image went
+antialias=False; "native" differs from "exact" only by float rounding in the
+C++ kernel).
 """
 from __future__ import annotations
 
@@ -149,7 +151,7 @@ class SourceCompactor:
         return nt
 
     def _compact_exact(self, img_u8, fg_u8, mc_u8, out_h, out_w):
-        """jax-CPU path: same antialiased `resize_image` as the device."""
+        """jax-CPU path: the same `resize_image` kernel as the device."""
         img = _to_unit_f32_np(img_u8)
         fg = _to_unit_f32_np(fg_u8)
         mc = _to_unit_f32_np(mc_u8)
