@@ -35,6 +35,16 @@ def _run_phase(name, seconds, env=None):
     t0 = time.time()
     try:
         proc_env = dict(os.environ, **(env or {}))
+        # persistent compile cache shared across phases (and bench re-runs on
+        # the same box): the release-model TPU compiles dominate phase wall
+        # (train_release measured 865 s of which ~10 s is measurement) — the
+        # cache turns every repeat compile into a load
+        proc_env.setdefault(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.environ.get("HD_BENCH_COMPILE_CACHE",
+                           "/tmp/jax_bench_compile_cache"),
+        )
+        proc_env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--phase", name],
             capture_output=True,
