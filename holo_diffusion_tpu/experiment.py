@@ -340,10 +340,12 @@ class Experiment:
         # those target/known-frame sets instead of inventing targets
         eval_batches = None
         if getattr(self.data, "eval_batches", None):
-            eval_batches = [
+            # lazy: real CO3D has thousands of eval batches of full-res
+            # frames — assemble each on demand, never all at once
+            eval_batches = (
                 self.data.get_eval_batch(i)
                 for i in range(len(self.data.eval_batches))
-            ]
+            )
             scenes = []
         else:
             eval_ds = self.data.val if len(self.data.val) else self.data.train
