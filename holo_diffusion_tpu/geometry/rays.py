@@ -195,14 +195,34 @@ def sample_pdf(
     else:
         u = jax.random.uniform(rng, (*cdf.shape[:-1], n_samples))
 
-    # searchsorted over the last axis.
-    inds = jnp.sum(u[..., :, None] >= cdf[..., None, :], axis=-1)
-    below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
-    above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, jnp.clip(below, 0, bins.shape[-1] - 1), -1)
-    bins_above = jnp.take_along_axis(bins, jnp.clip(above, 0, bins.shape[-1] - 1), -1)
+    # Searchsorted + 4 gathers, expressed as ONE one-hot matmul: per-lane
+    # gathers (take_along_axis) are VPU-serial on TPU — measured 2.65 ms of
+    # the train step's refine phase at 3x1024x16 over 65 bins, vs ~0.6 ms as
+    # a batched (n_samples, M) @ (M, 4) MXU contraction
+    # (scripts/profile_render_residual_r4.py, round 4).
+    #
+    # cmp[.., n, m] = u_n >= cdf_m is 1 for m <= inds-1; the one-hot of
+    # `below = inds - 1` is cmp minus its left-shift (cdf[0] = 0 <= u, so
+    # inds >= 1 always; if u lands past cdf[-1] the surviving 1 sits at
+    # M-1, matching the reference's clip).
+    cmp = (u[..., :, None] >= cdf[..., None, :]).astype(cdf.dtype)
+    oh_below = cmp - jnp.concatenate(
+        [cmp[..., 1:], jnp.zeros_like(cmp[..., :1])], axis=-1
+    )
+    # value vectors aligned with `below` = m: x_below[m] = x[m],
+    # x_above[m] = x[min(m+1, M-1)] (bins and cdf share length M)
+    cdf_a = jnp.concatenate([cdf[..., 1:], cdf[..., -1:]], axis=-1)
+    bins_a = jnp.concatenate([bins[..., 1:], bins[..., -1:]], axis=-1)
+    vals = jnp.stack([cdf, cdf_a, bins, bins_a], axis=-1)  # (..., M, 4)
+    # HIGHEST: TPU-default matmul rounds operands to bf16 — oh_below is
+    # exact either way (0/1) but bf16-rounded depth values would break
+    # parity with the gather formulation (goldens pin this at 1e-6).
+    picked = jnp.einsum(
+        "...nm,...mk->...nk", oh_below, vals,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    cdf_below, cdf_above = picked[..., 0], picked[..., 1]
+    bins_below, bins_above = picked[..., 2], picked[..., 3]
     denom = jnp.where(cdf_above - cdf_below < 1e-8, 1.0, cdf_above - cdf_below)
     t = (u - cdf_below) / denom
     return bins_below + t * (bins_above - bins_below)

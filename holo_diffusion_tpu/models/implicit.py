@@ -170,6 +170,7 @@ class VoxelGridImplicitFunction(nn.Module):
         if self.is_initializing():
             fuse = "off"
 
+        fused_grads = None
         if fuse == "on":
             assert self.render_mlp.decode_is_fusable
             from ..ops.pallas.fused_decode import fused_sample_decode
@@ -189,13 +190,29 @@ class VoxelGridImplicitFunction(nn.Module):
                 )
             else:
                 pe_dirs = self.render_mlp.encode_dirs(dirs)
-            densities, colour = fused_sample_decode(
+            g1 = None
+            if self.render_normals:
+                # normals ride the SAME kernel (lanes 4:7): the analytic
+                # density-field gradient replaces the separate
+                # trilinear_point_gradient pallas_call (~2 ms/step measured,
+                # scripts/profile_render_residual_r4.py)
+                g1 = jax.lax.stop_gradient(
+                    jnp.einsum(
+                        "dhwc,c->dhw", voxel_grid, A[:, -1], precision=_HI
+                    )
+                )
+            out = fused_sample_decode(
                 voxel_grid, A, c, Wr, br, ray_points_world, pe_dirs,
                 extent=self.volume_extent,
                 hidden=self.render_mlp.dnet_hidden_dim,
                 interpret=jax.default_backend() != "tpu",
                 precision=self.sampler_precision,
+                g1=g1,
             )
+            if g1 is not None:
+                densities, colour, fused_grads = out
+            else:
+                densities, colour = out
             vp_feats = None
         elif collapse == "on":
             assert self.render_mlp.density_net_is_collapsible
@@ -216,7 +233,9 @@ class VoxelGridImplicitFunction(nn.Module):
             densities, colour, vp_feats = self.render_mlp(sampled, dirs)
 
         aux = {}
-        if self.render_normals:
+        if self.render_normals and fused_grads is not None:
+            aux["normals"] = _normalize(fused_grads)
+        elif self.render_normals:
             # normals = normalize(d density / d p) (get_normals,
             # holo_voxel_grid_implicit_function.py:131-145). Under the release
             # config the density net is EXACTLY affine (density_affine), so

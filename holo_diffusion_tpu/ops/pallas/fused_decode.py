@@ -68,7 +68,44 @@ def _sample_block(points_ref, grid_ref, D, H, W, C, extent, block_n, precision):
     s = jnp.zeros((block_n, C), jnp.float32)
     for x in range(W):
         s = s + B[:, x * C:(x + 1) * C] * hx[:, x:x + 1]
-    return s, wzy, ix
+    return s, wzy, (ix, iy, iz), hx
+
+
+def _normals_block(g1_ref, wzy, ix, iy, iz, D, H, extent, block_n, precision):
+    """Analytic spatial gradient of the scalar trilinear field g1 at the
+    block's points — the same arithmetic as kron_sample._dpoints_kernel with
+    C=1 and an all-ones cotangent, but reusing the wzy hat factors this
+    kernel already computed. g1_ref: (D*H, Wp) = (grid @ A[:, -1]) reshaped
+    (+zero col pad); zero pad lanes contribute nothing to either product."""
+    g1 = g1_ref[:]
+    Wp = g1.shape[1]
+    xpos = jax.lax.broadcasted_iota(jnp.int32, (block_n, Wp), 1).astype(
+        jnp.float32
+    )
+    dx = ix[:, None] - xpos
+    hxp = jnp.maximum(0.0, 1.0 - jnp.abs(dx))
+    dhx = jnp.where(jnp.abs(dx) < 1.0, -jnp.sign(dx), 0.0)
+    B1 = jnp.dot(wzy, g1, preferred_element_type=jnp.float32,
+                 precision=precision)  # (block_n, Wp)
+    d_ix = jnp.sum(dhx * B1, axis=1)
+    # E1[n, q] = sum_x hx[n, x] * g1[q, x]
+    E1 = jax.lax.dot_general(
+        hxp, g1, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # (block_n, D*H)
+    q = jax.lax.broadcasted_iota(jnp.int32, (block_n, D * H), 1)
+    zq = (q // H).astype(jnp.float32)
+    yq = (q % H).astype(jnp.float32)
+    dz = iz[:, None] - zq
+    dy = iy[:, None] - yq
+    hz = jnp.maximum(0.0, 1.0 - jnp.abs(dz))
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
+    dhz = jnp.where(jnp.abs(dz) < 1.0, -jnp.sign(dz), 0.0)
+    dhy = jnp.where(jnp.abs(dy) < 1.0, -jnp.sign(dy), 0.0)
+    d_iy = jnp.sum((hz * dhy) * E1, axis=1)
+    d_iz = jnp.sum((dhz * hy) * E1, axis=1)
+    inv_vs = D / extent
+    return d_ix * inv_vs, d_iy * inv_vs, d_iz * inv_vs
 
 
 def _decode(s, pe_ref, A_ref, c_ref, Wr_ref, br_ref, hidden, precision):
@@ -86,7 +123,7 @@ def _fwd_kernel(
     points_ref, pe_ref, grid_ref, A_ref, c_ref, Wr_ref, br_ref, out_ref,
     *, D, H, W, C, extent, block_n, hidden, precision,
 ):
-    s, _, _ = _sample_block(
+    s, _, _, _ = _sample_block(
         points_ref, grid_ref, D, H, W, C, extent, block_n, precision
     )
     pre, h_all, rin, rpre, rgb = _decode(
@@ -99,6 +136,35 @@ def _fwd_kernel(
             h_all[:, hidden:hidden + 1],
             rgb[:, :3],
             jnp.zeros((block_n, OUT_LANES - 4), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _fwd_kernel_normals(
+    points_ref, pe_ref, grid_ref, A_ref, c_ref, Wr_ref, br_ref, g1_ref,
+    out_ref, *, D, H, W, C, extent, block_n, hidden, precision,
+):
+    """Forward + analytic density-field gradient in lanes 4:7 — replaces the
+    separate trilinear_point_gradient pallas_call of the normals path
+    (measured ~2 ms of the train step; the hat factors are already here)."""
+    s, wzy, (ix, iy, iz), _ = _sample_block(
+        points_ref, grid_ref, D, H, W, C, extent, block_n, precision
+    )
+    pre, h_all, rin, rpre, rgb = _decode(
+        s, pe_ref, A_ref, c_ref, Wr_ref, br_ref, hidden, precision
+    )
+    gx, gy, gz = _normals_block(
+        g1_ref, wzy, ix, iy, iz, D, H, extent, block_n, precision
+    )
+    out_ref[:] = jnp.concatenate(
+        [
+            h_all[:, hidden:hidden + 1],
+            rgb[:, :3],
+            gx[:, None],
+            gy[:, None],
+            gz[:, None],
+            jnp.zeros((block_n, OUT_LANES - 7), jnp.float32),
         ],
         axis=1,
     )
@@ -117,7 +183,7 @@ def _bwd_kernel(
         dWr_ref[:] = jnp.zeros_like(dWr_ref)
         dbr_ref[:] = jnp.zeros_like(dbr_ref)
 
-    s, wzy, ix = _sample_block(
+    s, wzy, (ix, _, _), _ = _sample_block(
         points_ref, grid_ref, D, H, W, C, extent, block_n, precision
     )
     pre, h_all, rin, rpre, rgb = _decode(
@@ -182,8 +248,8 @@ def _pad_cols(x, mult):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_decode(cfg, grid, A, c, Wr, br, points, pe_dirs):
-    return _fused_fwd_impl(cfg, grid, A, c, Wr, br, points, pe_dirs)
+def _fused_decode(cfg, grid, A, c, Wr, br, points, pe_dirs, g1):
+    return _fused_fwd_impl(cfg, grid, A, c, Wr, br, points, pe_dirs, g1)
 
 
 def _prep(cfg, grid, A, c, Wr, br, points, pe_dirs):
@@ -210,39 +276,52 @@ def _prep(cfg, grid, A, c, Wr, br, points, pe_dirs):
             extent, block_n, hidden, interpret, precision)
 
 
-def _fused_fwd_impl(cfg, grid, A, c, Wr, br, points, pe_dirs):
+def _fused_fwd_impl(cfg, grid, A, c, Wr, br, points, pe_dirs, g1):
     (D, H, W, C, pts, pe, Ap, cp, Wrp, brp, grid_mat, n, n_pad,
      extent, block_n, hidden, interpret, precision) = _prep(
         cfg, grid, A, c, Wr, br, points, pe_dirs)
+    with_normals = g1 is not None
     n_blocks = (n + n_pad) // block_n
     vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((block_n, PT_LANES), lambda i: (i, 0),
+                     memory_space=vm),
+        pl.BlockSpec((block_n, pe.shape[1]), lambda i: (i, 0),
+                     memory_space=vm),
+        pl.BlockSpec(grid_mat.shape, lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec(Ap.shape, lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec(cp.shape, lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec(Wrp.shape, lambda i: (0, 0), memory_space=vm),
+        pl.BlockSpec(brp.shape, lambda i: (0, 0), memory_space=vm),
+    ]
+    operands = [pts, pe, grid_mat, Ap, cp, Wrp, brp]
+    kernel = _fwd_kernel
+    if with_normals:
+        g1_mat = _pad_cols(
+            jax.lax.stop_gradient(g1).astype(jnp.float32).reshape(D * H, W), 8
+        )
+        in_specs.append(
+            pl.BlockSpec(g1_mat.shape, lambda i: (0, 0), memory_space=vm)
+        )
+        operands.append(g1_mat)
+        kernel = _fwd_kernel_normals
     out = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, D=D, H=H, W=W, C=C, extent=extent, block_n=block_n,
+            kernel, D=D, H=H, W=W, C=C, extent=extent, block_n=block_n,
             hidden=hidden, precision=precision,
         ),
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((block_n, PT_LANES), lambda i: (i, 0),
-                         memory_space=vm),
-            pl.BlockSpec((block_n, pe.shape[1]), lambda i: (i, 0),
-                         memory_space=vm),
-            pl.BlockSpec(grid_mat.shape, lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec(Ap.shape, lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec(cp.shape, lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec(Wrp.shape, lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec(brp.shape, lambda i: (0, 0), memory_space=vm),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block_n, OUT_LANES), lambda i: (i, 0),
                                memory_space=vm),
         out_shape=jax.ShapeDtypeStruct((n + n_pad, OUT_LANES), jnp.float32),
         interpret=interpret,
-    )(pts, pe, grid_mat, Ap, cp, Wrp, brp)
-    return out[:n, :4]
+    )(*operands)
+    return out[:n, :7] if with_normals else out[:n, :4]
 
 
-def _fused_fwd(cfg, grid, A, c, Wr, br, points, pe_dirs):
-    out = _fused_fwd_impl(cfg, grid, A, c, Wr, br, points, pe_dirs)
+def _fused_fwd(cfg, grid, A, c, Wr, br, points, pe_dirs, g1):
+    out = _fused_fwd_impl(cfg, grid, A, c, Wr, br, points, pe_dirs, g1)
     return out, (grid, A, c, Wr, br, points, pe_dirs)
 
 
@@ -303,7 +382,10 @@ def _fused_bwd(cfg, residuals, g):
         [dWrp[:hidden, :3], dWrp[hidden:hidden + pe_dim, :3]], axis=0
     ).astype(Wr.dtype)
     d_br = dbrp[0, :3].astype(br.dtype)
-    return d_grid, d_A, d_c, d_Wr, d_br, None, None
+    # g cotangent lanes 4:7 (normals) are intentionally dropped: the analytic
+    # gradient lanes are stop_gradient by contract (visualization-only aux,
+    # same semantics as kron_sample.trilinear_point_gradient)
+    return d_grid, d_A, d_c, d_Wr, d_br, None, None, None
 
 
 _fused_decode.defvjp(_fused_fwd, _fused_bwd)
@@ -322,6 +404,7 @@ def fused_sample_decode(
     block_n: int = 512,
     interpret: bool = False,
     precision: str = "default",
+    g1: jnp.ndarray = None,
 ):
     """One-kernel render decode.
 
@@ -330,6 +413,11 @@ def fused_sample_decode(
     points: (..., 3); pe_dirs: (..., pe_dim) harmonic-embedded unit dirs.
     Returns (densities (..., 1), rgb (..., 3)). Differentiable in
     grid/A/c/Wr/br (VMEM-accumulated), NOT in points/pe_dirs.
+
+    g1: optional (D, H, W) scalar density field (grid @ A[:, -1]); when given,
+    the kernel also emits its analytic spatial gradient at each point —
+    returns (densities, rgb, grads (..., 3)) with grads stop_gradient (the
+    normals path, replacing a second trilinear_point_gradient pallas_call).
     """
     shape = points.shape[:-1]
     flat_pts = points.reshape(-1, 3)
@@ -337,7 +425,10 @@ def fused_sample_decode(
     out = _fused_decode(
         (float(extent), int(block_n), int(hidden), bool(interpret),
          str(precision)),
-        grid, A, c, Wr, br, flat_pts, flat_pe,
+        grid, A, c, Wr, br, flat_pts, flat_pe, g1,
     )
+    if g1 is not None:
+        out = out.reshape(*shape, 7)
+        return out[..., 0:1], out[..., 1:4], out[..., 4:7]
     out = out.reshape(*shape, 4)
     return out[..., 0:1], out[..., 1:4]

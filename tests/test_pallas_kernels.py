@@ -275,3 +275,52 @@ def test_auto_selection_resolves_fused_on_tpu(monkeypatch):
         lambda v, g: fn_big.apply(v, g, pts2, dirs[:, :8])
     )(v_big, big)
     assert "pallas_call" not in str(jaxpr_big)
+
+
+def test_fused_decode_normals_lanes_equivalence():
+    """fuse_decode='on' + render_normals=True emits the analytic density-field
+    gradient from the SAME kernel (lanes 4:7) — it must match the separate
+    trilinear_point_gradient path (fuse_decode='off') exactly, and must not
+    perturb densities/colour or the parameter gradients."""
+    from holo_diffusion_tpu.models.implicit import VoxelGridImplicitFunction
+
+    rng = np.random.RandomState(29)
+    D, C = 8, 32
+    grid = jnp.tanh(jnp.asarray(rng.randn(D, D, D, C), jnp.float32))
+    # off voxel-boundary planes (measure-zero subgradient ambiguity)
+    pts = jnp.asarray(rng.uniform(-1.93, 1.97, (2, 40, 9, 3)), jnp.float32)
+    dirs = jnp.asarray(rng.randn(2, 40, 3), jnp.float32)
+
+    outs, grads, normals = {}, {}, {}
+    for fuse in ("off", "on"):
+        fn = VoxelGridImplicitFunction(
+            resol=D, volume_extent=4.0, n_hidden=C, feature_dim=0,
+            render_normals=True,
+            render_mlp_args=dict(dnet_hidden_dim=48, rnet_hidden_dim=16,
+                                 dnet_num_layers=4, dnet_input_skips=(2,)),
+            sampler="fused", fuse_decode=fuse, collapse_density="off",
+        )
+        variables = fn.init(jax.random.PRNGKey(0), grid, pts, dirs)
+
+        def loss(v, g):
+            dens, feats, aux = fn.apply(v, g, pts, dirs)
+            return (
+                jnp.sum(dens ** 2) + 2.0 * jnp.sum(feats ** 2),
+                aux["normals"],
+            )
+
+        (outs[fuse], normals[fuse]), grads[fuse] = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(variables, grid)
+
+    np.testing.assert_allclose(float(outs["on"]), float(outs["off"]),
+                               rtol=1e-5)
+    assert normals["on"].shape == pts.shape
+    np.testing.assert_allclose(
+        np.asarray(normals["on"]), np.asarray(normals["off"]),
+        atol=5e-5, rtol=1e-4,
+    )
+    for a, b in zip(jax.tree.leaves(grads["on"]),
+                    jax.tree.leaves(grads["off"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=2e-3)

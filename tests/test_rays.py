@@ -104,3 +104,59 @@ def test_harmonic_embedding_zero_freqs_identity():
     x = jnp.ones((2, 7))
     assert he(x).shape == (2, 7)
     assert he.get_output_dim(7) == 7
+
+
+def test_sample_pdf_matches_gather_formulation():
+    """sample_pdf's one-hot-matmul inverse CDF (MXU-friendly; gathers are
+    VPU-serial on TPU) must match the straightforward searchsorted + 4x
+    take_along_axis formulation exactly — det and stochastic branches,
+    including u past cdf[-1] and near-empty bins."""
+    from holo_diffusion_tpu.geometry.rays import sample_pdf
+
+    def reference(bins, weights, n_samples, u, eps=1e-5):
+        weights = weights + eps
+        pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+        cdf = jnp.cumsum(pdf, axis=-1)
+        cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+        inds = jnp.sum(u[..., :, None] >= cdf[..., None, :], axis=-1)
+        below = jnp.clip(inds - 1, 0, cdf.shape[-1] - 1)
+        above = jnp.clip(inds, 0, cdf.shape[-1] - 1)
+        cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+        cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+        bins_b = jnp.take_along_axis(bins, below, axis=-1)
+        bins_a = jnp.take_along_axis(bins, above, axis=-1)
+        denom = jnp.where(cdf_a - cdf_b < 1e-8, 1.0, cdf_a - cdf_b)
+        return bins_b + (u - cdf_b) / denom * (bins_a - bins_b)
+
+    rs = np.random.RandomState(0)
+    M, N = 17, 9
+    bins = jnp.asarray(np.sort(rs.uniform(2.0, 10.0, (2, 5, M)), -1),
+                       jnp.float32)
+    weights = jnp.asarray(rs.uniform(0, 1, (2, 5, M - 1)), jnp.float32)
+    # a few near-degenerate rows: all-zero weights, one spike
+    weights = weights.at[0, 0].set(0.0)
+    weights = weights.at[0, 1].set(
+        jnp.zeros(M - 1).at[3].set(100.0)
+    )
+
+    # deterministic branch (linspace u includes exactly 0.0 and 1.0)
+    got = sample_pdf(bins, weights, N, None)
+    u_det = jnp.broadcast_to(jnp.linspace(0.0, 1.0, N), (2, 5, N))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(reference(bins, weights, N, u_det)),
+        atol=1e-6,
+    )
+    # monotone nondecreasing within each row for det (sorted u)
+    assert (np.diff(np.asarray(got), axis=-1) >= -1e-6).all()
+
+    # stochastic branch: same rng -> same u draw as the implementation
+    rng = jax.random.PRNGKey(7)
+    got_s = sample_pdf(bins, weights, N, rng)
+    u_s = jax.random.uniform(rng, (2, 5, N))
+    np.testing.assert_allclose(
+        np.asarray(got_s), np.asarray(reference(bins, weights, N, u_s)),
+        atol=1e-6,
+    )
+    # samples stay inside the bin support
+    assert (np.asarray(got_s) >= float(bins.min()) - 1e-5).all()
+    assert (np.asarray(got_s) <= float(bins.max()) + 1e-5).all()
