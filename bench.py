@@ -688,9 +688,19 @@ def bench_train_release_e2e():
     variables = _release_init(model, batch)
     tx = make_optimizer(breed="Adam", lr=4e-5)
     state = TrainState.create(variables, tx)
-    K = 2  # steps_per_dispatch (the config a throughput-minded user sets;
-    # amortizes the ~30 ms tunnel dispatch + the per-dispatch metric fetch)
-    step = make_train_step(model, tx, mesh=None, donate=True, steps_per_call=K)
+    # steps_per_dispatch (the config a throughput-minded user sets). The H2D
+    # path over this transport is LATENCY-bound per pytree leaf (~550 ms per
+    # group whether it carries 2 or 4 batches), so K amortizes it: measured
+    # K=2 5.33, K=4 9.70 (90% of the 10.8 device ceiling), K=8 7.00 (host
+    # assembly + bandwidth term catch up) — scripts/profile_e2e_residual_r4.py
+    K = 4
+    # packed_transfer: ship each group as ONE uint8 buffer so the ~11-leaf
+    # latency payment collapses to a single one (data/packing.py)
+    from holo_diffusion_tpu.data.packing import BatchPacker, packed_transfer
+
+    packer = BatchPacker()
+    step = make_train_step(model, tx, mesh=None, donate=True, steps_per_call=K,
+                           packer=packer)
     comp = SourceCompactor.from_model(model, drop_depth=True)
     # per-scene compact cache: compaction runs once per scene touch, not
     # once per batch (the per-batch transform alone host-paced the loop)
@@ -699,20 +709,19 @@ def bench_train_release_e2e():
     N_WARM, N = 2, 8  # dispatch groups (x K steps each)
 
     def gen():
-        import jax.numpy as jnp
-
         for i in range(N_WARM + N):
             group = [
                 sampler.sample_batch(np.random.RandomState(K * i + j), 33)
                 for j in range(K)
             ]
-            yield jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+            # np.stack keeps the group host-side for pack()
+            yield jax.tree.map(lambda *xs: np.stack(xs), *group)
 
     _log("[bench] compiling + warming the e2e loop ...")
     from collections import deque
 
     rng = jax.random.PRNGKey(2)
-    it = iter(AsyncLoader(gen(), prefetch=2, transfer=jax.device_put))
+    it = iter(AsyncLoader(gen(), prefetch=2, transfer=packed_transfer(packer)))
     t0 = None
     done = 0
     # one-dispatch-deferred metric fetch, matching Experiment's train loop:

@@ -71,7 +71,7 @@ def load_config(
 _KNOWN_ROOT_KEYS = frozenset({
     "exp_dir", "seed", "detect_anomaly",
     "disable_testing", "disable_validation",
-    "steps_per_dispatch", "ema_rate", "eval_use_ema",
+    "steps_per_dispatch", "packed_transfer", "ema_rate", "eval_use_ema",
     "visualize_denoising_video",
     "compact_sources", "compact_val", "compact_drop_depth",
     "compact_host_resize", "compact_scene_cache", "compact_cached_scenes",

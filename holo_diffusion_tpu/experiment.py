@@ -441,6 +441,23 @@ class Experiment:
                     self.data.val, val_comp, max_cached_scenes=n_cached
                 )
 
+        # packed transfer (our extension, data/packing.py): ship each dispatch
+        # group as ONE flat uint8 buffer — the H2D path of a high-latency
+        # transport is latency-bound PER ARRAY (~50 ms x ~11 FrameData leaves
+        # measured on the TPU tunnel), so one buffer pays one latency. The
+        # jitted step unpacks with static slices + bitcasts (bit-exact).
+        packer = None
+        if self.cfg.get("packed_transfer", False) and mesh is None:
+            if self.loop_args.get("whole_dataset_batch"):
+                logger.warning(
+                    "packed_transfer ignored with whole_dataset_batch (the "
+                    "replayed batch is already device-resident)"
+                )
+            else:
+                from .data.packing import BatchPacker
+
+                packer = BatchPacker()
+
         state = self.init_state()
         log_vars = _model_cfg_log_vars(self.cfg)
         stats = Stats.load_or_new(
@@ -469,6 +486,7 @@ class Experiment:
             # EMA of params (our extension; guided_diffusion update_ema,
             # nn.py:61-71 — sampling can use state.ema_variables())
             ema_rate=float(self.cfg.get("ema_rate", 0.0)),
+            packer=packer,
         )
         eval_step = make_eval_step(self.model)
 
@@ -525,6 +543,11 @@ class Experiment:
                 if compactor is not None and train_data is self.data.train:
                     loader = map(compactor, loader)
 
+            # packed mode stacks on the HOST (np.stack): the group must stay
+            # host-side so pack() can view its bytes; jnp.stack would commit
+            # each leaf to the device eagerly (one latency payment per leaf)
+            _stack = np.stack if packer is not None else jnp.stack
+
             def _group_steps(it):
                 """Stack steps_per_dispatch batches on a leading step axis."""
                 if steps_per_dispatch == 1:
@@ -534,7 +557,7 @@ class Experiment:
                 for b in it:
                     group.append(b)
                     if len(group) == steps_per_dispatch:
-                        yield jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                        yield jax.tree.map(lambda *xs: _stack(xs), *group)
                         group = []
                 if group:
                     # the scan needs exactly K batches; Experiment sizes the
@@ -554,6 +577,10 @@ class Experiment:
                     if steps_per_dispatch == 1
                     else (lambda b: _shard_stepped(b, mesh))
                 )
+            elif packer is not None:
+                from .data.packing import packed_transfer
+
+                transfer = packed_transfer(packer)
             else:
                 transfer = jax.device_put
 

@@ -109,6 +109,7 @@ def make_train_step(
     steps_per_call: int = 1,
     schedule_sampler: str = "uniform",
     ema_rate: float = 0.0,
+    packer=None,
 ) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
@@ -137,7 +138,19 @@ def make_train_step(
     photometric objective is importance-corrected and fed back as the
     per-timestep loss signal (credit for t_bootstrap gated on take_boot).
     Reported metrics stay UNweighted; only the grad target is rescaled.
+
+    packer: optional data.packing.BatchPacker — `batch` then arrives as ONE
+    flat uint8 buffer (single H2D latency payment on high-latency transports;
+    ~11 per-leaf payments otherwise, scripts/profile_e2e_residual_r4.py) and
+    is unpacked to the FrameData pytree inside the jit (static slices +
+    bitcasts, fused by XLA). Single-device only: under a mesh the batch must
+    arrive pre-sharded per device (shard_batch).
     """
+    if packer is not None and mesh is not None:
+        raise ValueError(
+            "packed transfer is single-device (the tunnel-latency lever); "
+            "under a mesh, shard_batch places per-device shards directly"
+        )
     loss_aware = schedule_sampler == "loss-second-moment"
     if loss_aware:
         sched = gd.make_named_schedule_from_config(model.diffusion_args)
@@ -221,8 +234,13 @@ def make_train_step(
                 metrics,
             )
 
+        # (the packed buffer is NOT donated: no output shares its dtype, so
+        # XLA cannot alias it and the donation would only warn)
+
         @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
-        def train_step(state: TrainState, batch: FrameData, rng: jax.Array):
+        def train_step(state: TrainState, batch, rng: jax.Array):
+            if packer is not None:
+                batch = packer.unpack(batch)
             if steps_per_call == 1:
                 return one_step(state, batch, rng)
             return _scan_steps(one_step, state, batch, rng)

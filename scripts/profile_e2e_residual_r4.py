@@ -101,10 +101,13 @@ def main():
           f"(serialized if total ~= step+put)", flush=True)
 
     # ---- the real loop at K in {2, 4, 8}
+    # host copy of the params: donate=True deletes the device buffers each
+    # loop, so every K gets a fresh device_put of the same values
+    host_vars = jax.tree.map(np.asarray, variables)
     for K in (2, 4, 8):
         step = make_train_step(model, tx, mesh=None, donate=True,
                                steps_per_call=K)
-        state = TrainState.create(variables, tx)
+        state = TrainState.create(jax.device_put(host_vars), tx)
         N_WARM, N = 2, max(8 // (K // 2), 4)
 
         def gen():
