@@ -544,6 +544,11 @@ def training_loop_args_from_config(cfg: Dict[str, Any]) -> Dict[str, Any]:
         visualize_interval=t.get("visualize_interval", 100),
         whole_dataset_batch=t.get("whole_dataset_batch", False),
         profile=t.get("profile", False),
+        # evaluator sub-config (reference base.yaml
+        # evaluator_ImplicitronEvaluator_args: camera_difficulty_bin_breaks)
+        evaluator_ImplicitronEvaluator_args=dict(
+            t.get("evaluator_ImplicitronEvaluator_args", {}) or {}
+        ),
     )
 
 

@@ -525,10 +525,18 @@ class CO3DDataProvider:
         if load_eval_batches:
             raw = load_eval_batches_file(category_root, subset_name)
             if raw is None:
-                raise FileNotFoundError(
+                # Graceful fallback (shipped configs enable the protocol by
+                # default, mirroring reference base.yaml:31): a dataset copy
+                # without the challenge json still evaluates — via the
+                # evaluator's own random-target selection — with a loud
+                # warning instead of a hard failure.
+                logger.warning(
                     f"load_eval_batches: no eval_batches/eval_batches_"
-                    f"{subset_name}.json under {category_root}"
+                    f"{subset_name}.json under {category_root}; falling back "
+                    f"to the random-targets eval protocol"
                 )
+                load_eval_batches = False
+        if load_eval_batches:
             kept = set(self.train._seq_names) | set(self.val._seq_names)
             self.eval_batches = [
                 [(e[0], int(e[1])) for e in b]

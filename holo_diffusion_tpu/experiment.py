@@ -358,10 +358,16 @@ class Experiment:
             perceptual_fn = load_lpips_from_torch_files(
                 lpips_vgg, self.cfg.get("lpips_lin_weights_path")
             )
+        # camera-difficulty bins (reference evaluator config,
+        # base.yaml evaluator_ImplicitronEvaluator_args)
+        ev = self.loop_args.get("evaluator_ImplicitronEvaluator_args", {})
         res = evaluate_new_view_synthesis(
             self.model,
             jax.device_get(state.variables()),
             scenes,
+            difficulty_bin_breaks=tuple(
+                ev.get("camera_difficulty_bin_breaks", (0.97, 0.98))
+            ),
             perceptual_fn=perceptual_fn,
             eval_batches=eval_batches,
             dump_path=os.path.join(
