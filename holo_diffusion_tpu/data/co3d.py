@@ -208,6 +208,30 @@ def _resize(img: np.ndarray, hw: Tuple[int, int], nearest: bool = False) -> np.n
     return np.asarray(pil.resize((W, H), mode), np.float32) / 255.0
 
 
+def _decode_pool_width(n_workers: int) -> int:
+    """Effective cold-decode pool width: `num_workers` capped by the CPUs
+    actually available — on a 1-core host threads only thrash the GIL
+    (measured 12 -> 4 frames/s), while on multi-core hosts PIL/ctypes release
+    the GIL and the pool parallelizes the decode like the reference's worker
+    processes. HD_DECODE_POOL_WIDTH overrides (tests force the pool path)."""
+    env = os.environ.get("HD_DECODE_POOL_WIDTH")
+    if env:
+        return max(1, int(env))
+    try:
+        n_cpus = len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        n_cpus = os.cpu_count() or 1
+    return max(1, min(int(n_workers), n_cpus))
+
+
+def _quant_u8(a: np.ndarray) -> np.ndarray:
+    """unit-float -> uint8, the compact-cache quantization (round-half-even
+    like numpy; the native u8 kernel replicates this bit-exactly)."""
+    return np.clip(
+        np.round(np.asarray(a, np.float32) * 255.0), 0, 255
+    ).astype(np.uint8)
+
+
 def load_frame_data(
     frame: CO3DFrame,
     dataset_root: str,
@@ -217,12 +241,20 @@ def load_frame_data(
     box_crop_mask_thr: float = 0.4,
     box_crop_context: float = 0.3,
     load_depths: bool = True,
+    compact: bool = False,
 ):
     """Load one frame: image/mask/depth cropped to the fg box and resized to a
-    square; intrinsics rewritten through the crop. Returns dict of numpy."""
+    square; intrinsics rewritten through the crop. Returns dict of numpy.
+
+    compact: emit the compact host-cache dtypes DIRECTLY (uint8 image/mask,
+    float16 depth, uint8 mask_crop) instead of f32 — the native kernel writes
+    u8 without the f32 intermediate and the stacked-scene re-quantization
+    that used to cost ~45% of a cold scene load on a 1-core host (round-5
+    cold-loader profile); values are bit-identical to quantizing the f32
+    path after the fact."""
     from PIL import Image
 
-    from ..native import crop_resize_u8
+    from ..native import crop_resize_u8, crop_resize_u8_out
 
     with Image.open(os.path.join(dataset_root, frame.image_path)) as im:
         img_u8 = np.asarray(im.convert("RGB"))
@@ -262,7 +294,11 @@ def load_frame_data(
     h_box, w_box = box[3] - box[1], box[2] - box[0]
     native_img = None
     if h_box == w_box:
-        native_img = crop_resize_u8(img_u8, box, (image_height, image_width))
+        native_img = (
+            crop_resize_u8_out(img_u8, box, (image_height, image_width))
+            if compact
+            else crop_resize_u8(img_u8, box, (image_height, image_width))
+        )
     if native_img is None:
         img = np.asarray(img_u8, np.float32)[box[1]:box[3], box[0]:box[2]] / 255.0
     else:
@@ -298,6 +334,21 @@ def load_frame_data(
     else:
         depth = np.zeros((image_height, image_width), np.float32)
 
+    if compact:
+        if img.dtype != np.uint8:  # PIL fallback path
+            img = _quant_u8(img)
+        return dict(
+            image_rgb=img,
+            fg_probability=_quant_u8(mask)[..., None],
+            mask_crop=np.ones(
+                (image_height, image_width, 1), np.uint8
+            ) * np.uint8(255),
+            depth_map=depth.astype(np.float16)[..., None],
+            R=frame.R,
+            T=frame.T,
+            focal_length=focal,
+            principal_point=pp,
+        )
     return dict(
         image_rgb=img,
         fg_probability=mask[..., None],
@@ -339,6 +390,7 @@ class CO3DSceneDataset(SceneDataset):
         max_frames_per_seq: int = -1,
         max_cached_scenes: int = 16,
         compact_cache: bool = True,
+        num_workers: int = 5,
     ):
         from collections import OrderedDict
 
@@ -349,6 +401,12 @@ class CO3DSceneDataset(SceneDataset):
         self._max_frames = max_frames_per_seq
         self._max_cached = max_cached_scenes
         self._compact = compact_cache
+        # cold-decode pool width (the reference decodes in `num_workers`
+        # dataloader worker PROCESSES, hydrant.yaml:56; threads suffice here
+        # because PIL's decoders and the ctypes C++ crop/resize release the
+        # GIL — real parallelism on multi-core hosts, near-zero overhead on
+        # a 1-core host)
+        self._num_workers = max(1, int(num_workers))
         self._cache: "OrderedDict[str, FrameData]" = OrderedDict()
 
     def __len__(self):
@@ -364,22 +422,29 @@ class CO3DSceneDataset(SceneDataset):
             frames = self._frames_by_seq[name]
             if self._max_frames > 0:
                 frames = frames[: self._max_frames]
-            loaded = [
-                load_frame_data(f, self._root, **self._load_kwargs) for f in frames
-            ]
+            def _load_one(f):
+                return load_frame_data(
+                    f, self._root, compact=self._compact, **self._load_kwargs
+                )
+
+            width = _decode_pool_width(self._num_workers)
+            if width > 1 and len(frames) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(width) as ex:
+                    loaded = list(ex.map(_load_one, frames))
+            else:
+                loaded = [_load_one(f) for f in frames]
             batch = {
                 k: np.stack([d[k] for d in loaded]) for k in loaded[0]
             }
             if self._compact:
-                def _u8(a):
-                    return np.clip(
-                        np.round(np.asarray(a, np.float32) * 255.0), 0, 255
-                    ).astype(np.uint8)
-
-                img = _u8(batch["image_rgb"])
-                fg = _u8(batch["fg_probability"])
-                crop = _u8(batch["mask_crop"])
-                depth = np.asarray(batch["depth_map"], np.float16)
+                # frames already arrive in compact dtypes (u8/u8/u8/f16 from
+                # load_frame_data compact=True) — stacking was the only work
+                img = batch["image_rgb"]
+                fg = batch["fg_probability"]
+                crop = batch["mask_crop"]
+                depth = batch["depth_map"]
             else:
                 img = np.asarray(batch["image_rgb"], np.float32)
                 fg = np.asarray(batch["fg_probability"], np.float32)
@@ -465,6 +530,7 @@ class CO3DDataProvider:
         n_known_frames_for_test: int = 0,
         max_cached_scenes: int = 16,
         compact_cache: bool = True,
+        num_workers: int = 5,
         **_,
     ):
         category_root = os.path.join(dataset_root, category)
@@ -512,6 +578,7 @@ class CO3DDataProvider:
                 by_seq, dataset_root, load_kwargs, n_frames_per_sequence,
                 max_cached_scenes=max_cached_scenes,
                 compact_cache=compact_cache,
+                num_workers=num_workers,
             )
 
         self.train = build("train")

@@ -57,6 +57,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int, ctypes.c_int, ctypes.c_float,
     ]
+    lib.hd_crop_resize_u8_out.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_float,
+    ]
     lib.hd_crop_resize_batch_u8.argtypes = [
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.POINTER(ctypes.c_int),
@@ -105,6 +112,32 @@ def crop_resize_u8(
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         H, W, C, box[0], box[1], box[2], box[3],
         dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        outH, outW, scale,
+    )
+    return dst
+
+
+def crop_resize_u8_out(
+    src: np.ndarray,
+    box: Tuple[int, int, int, int],
+    out_hw: Tuple[int, int],
+    scale: float = 1.0 / 255.0,
+) -> Optional[np.ndarray]:
+    """Crop+resize one (H, W, C) uint8 frame -> (outH, outW, C) uint8 —
+    bit-identical to `clip(round(crop_resize_u8(...) * 255))` without the f32
+    intermediate (the compact host cache's hot path). Returns None when the
+    native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.uint8)
+    H, W, C = src.shape
+    outH, outW = out_hw
+    dst = np.empty((outH, outW, C), np.uint8)
+    lib.hd_crop_resize_u8_out(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        H, W, C, box[0], box[1], box[2], box[3],
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         outH, outW, scale,
     )
     return dst

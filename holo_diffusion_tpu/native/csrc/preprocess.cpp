@@ -125,6 +125,34 @@ void hd_crop_resize_u8(const uint8_t* src, int H, int W, int C, int x0, int y0,
   crop_resize_one(src, H, W, C, x0, y0, x1, y1, dst, outH, outW, scale);
 }
 
+// Same crop+resize with uint8 output, BIT-IDENTICAL to quantizing the f32
+// path after the fact (data/co3d.py compact cache did
+// clip(round(f32 * 255), 0, 255) over the STACKED scene — several seconds of
+// pure dtype traffic per cold scene on a 1-core host). The two f32 multiplies
+// (acc*scale, then *255) and round-half-to-even (rintf == numpy round) are
+// kept in the numpy order so compact == quantize(full) exactly.
+void hd_crop_resize_u8_out(const uint8_t* src, int H, int W, int C, int x0,
+                           int y0, int x1, int y1, uint8_t* dst, int outH,
+                           int outW, float scale) {
+  const int cw = x1 - x0;
+  const int ch = y1 - y0;
+  const float sx = static_cast<float>(cw) / outW;
+  const float sy = static_cast<float>(ch) / outH;
+  for (int oy = 0; oy < outH; ++oy) {
+    const float fy = y0 + (oy + 0.5f) * sy - 0.5f;
+    for (int ox = 0; ox < outW; ++ox) {
+      const float fx = x0 + (ox + 0.5f) * sx - 0.5f;
+      for (int c = 0; c < C; ++c) {
+        const float v = sample_bilinear(src, H, W, C, fy, fx, c) * scale;
+        float q = std::nearbyintf(v * 255.f);
+        q = q < 0.f ? 0.f : (q > 255.f ? 255.f : q);
+        dst[(static_cast<size_t>(oy) * outW + ox) * C + c] =
+            static_cast<uint8_t>(q);
+      }
+    }
+  }
+}
+
 // Batch version over N frames with a thread pool. Arrays are packed:
 // srcs: N pointers; boxes: (N, 4) int32; dst: (N, outH, outW, C) float32.
 void hd_crop_resize_batch_u8(const uint8_t** srcs, const int* HWs,

@@ -208,6 +208,31 @@ def test_co3d_sequence_selection_knobs(tmp_path):
     assert len(p.train._frames_by_seq["seq_000"]) == 3
 
 
+def test_cold_decode_pool_matches_serial(tmp_path):
+    """The num_workers decode thread pool (reference: num_workers dataloader
+    worker processes, hydrant.yaml:56) must produce a byte-identical scene to
+    the serial path — frame order and values."""
+    root = str(tmp_path)
+    cat = _make_fake_co3d(root, n_frames=6)
+    kwargs = dict(
+        category=cat, dataset_root=root, subset_name="fewview_dev",
+        image_height=48, image_width=48, box_crop=True,
+    )
+    os.environ["HD_DECODE_POOL_WIDTH"] = "4"  # force the pool on 1-core CI
+    try:
+        pooled = CO3DDataProvider(num_workers=4, **kwargs).train.get_scene(0)
+    finally:
+        del os.environ["HD_DECODE_POOL_WIDTH"]
+    serial = CO3DDataProvider(num_workers=1, **kwargs).train.get_scene(0)
+    for k in ("image_rgb", "fg_probability", "mask_crop", "depth_map"):
+        a, b = getattr(pooled, k), getattr(serial, k)
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=k)
+    np.testing.assert_array_equal(
+        np.asarray(pooled.camera.R), np.asarray(serial.camera.R)
+    )
+
+
 def test_co3d_compact_cache(tmp_path):
     """Default compact cache stores native dtypes (u8 image/mask, f16 depth)
     and matches the f32 cache to u8 quantization (<= 0.5/255); the model
