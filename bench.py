@@ -172,8 +172,11 @@ def bench_sample_batched():
     sched = gd.make_named_schedule("linear", 1000)
 
     results = {}
-    # B=64 added round 5 (VERDICT r4 weak #7: find the MFU knee past B=32)
-    for B in (1, 8, 32, 64):
+    # B=64/128 added round 5 (VERDICT r4 weak #7: find the MFU knee past
+    # B=32). B=128 is OOM-guarded: 128 grids of 16^3x128 f32 plus UNet
+    # activations may not fit a 16 GB chip — a failure records the knee as
+    # "memory-bound past 64" instead of killing the phase.
+    for B in (1, 8, 32, 64, 128):
         shape = (B, 16, 16, 16, 128)
 
         @jax.jit
@@ -186,8 +189,14 @@ def bench_sample_batched():
 
         _log(f"[bench] compiling full 1000-step loop B={B} ...")
         rng = jax.random.PRNGKey(B)
-        out = run(params, rng)  # compile + warm
-        jax.block_until_ready(out)
+        try:
+            out = run(params, rng)  # compile + warm
+            jax.block_until_ready(out)
+        except Exception as e:  # noqa: BLE001 — OOM at large B is data
+            _log(f"[bench] B={B} failed ({type(e).__name__}); "
+                 f"recording as infeasible and stopping the sweep")
+            results[f"samples_per_min_per_chip_b{B}"] = 0.0
+            break
         times = []
         for rep in range(3):
             t0 = time.perf_counter()
@@ -903,7 +912,7 @@ def main():
          "rendered_rays_per_sec_release_scale_fused", 1),
         ("render", 1200, 130, None, "rendered_rays_per_sec", 1),
         ("train", 1500, 150, None, "train_steps_per_sec", 3),
-        ("sample_batched", 1500, 200, None,
+        ("sample_batched", 1500, 360, None,
          "samples_per_min_per_chip_b8", 2),
         ("train_release", 1500, 150, None, "train_steps_per_sec_release", 3),
         ("eval_release", 1200, 200, None, "eval_512_sec_per_image", 2),

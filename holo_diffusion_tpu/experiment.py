@@ -48,7 +48,7 @@ def _shard_stepped(batch, mesh, axis_name: str = "data"):
 from .train import make_lr_schedule, make_optimizer
 from .train.checkpoint import restore_checkpoint, save_checkpoint
 from .train.stats import Stats
-from .utils.profiling import profile_trace
+from .utils.profiling import SteadyStateProfiler
 
 logger = logging.getLogger(__name__)
 
@@ -592,12 +592,16 @@ class Experiment:
 
             # training_loop.profile=true: the reference exports chrome traces
             # of fwd/bwd (torch.profiler, training_loop.py:463-473,525-538);
-            # here one Perfetto trace of the first dispatches of the first
-            # profiled epoch covers compile + steady-state steps.
-            profile_ctx = (
-                profile_trace(os.path.join(self.exp_dir, "traces"))
+            # here a BOUNDED Perfetto trace of the first steady-state
+            # dispatches of the first profiled epoch (compile excluded —
+            # SteadyStateProfiler docstring; `profile_steps` bounds it).
+            profiler = (
+                SteadyStateProfiler(
+                    os.path.join(self.exp_dir, "traces"),
+                    int(self.loop_args.get("profile_steps", 3)),
+                )
                 if self.loop_args.get("profile") and epoch == start_epoch
-                else contextlib.nullcontext()
+                else None
             )
             # Metric fetch is deferred by one dispatch: device_get(step N)
             # would block the host until step N finishes, serializing host
@@ -613,19 +617,24 @@ class Experiment:
                 while len(pending) > keep:
                     stats.update(jax.device_get(pending.popleft()), "train")
 
-            with profile_ctx:
-                for it, batch in enumerate(
-                    AsyncLoader(_group_steps(loader), transfer=transfer)
-                ):
-                    rng, step_rng = jax.random.split(rng)
-                    state, metrics = train_step(state, batch, step_rng)
-                    pending.append(metrics)
-                    if print_interval and it % print_interval == 0:
-                        _flush(0)
-                        logger.info(stats.status_line("train"))
-                    else:
-                        _flush(1)
-                _flush(0)
+            for it, batch in enumerate(
+                AsyncLoader(_group_steps(loader), transfer=transfer)
+            ):
+                if profiler is not None:
+                    profiler.before_dispatch(it)
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = train_step(state, batch, step_rng)
+                if profiler is not None:
+                    profiler.after_dispatch(it, metrics)
+                pending.append(metrics)
+                if print_interval and it % print_interval == 0:
+                    _flush(0)
+                    logger.info(stats.status_line("train"))
+                else:
+                    _flush(1)
+            _flush(0)
+            if profiler is not None:
+                profiler.finish(state.params)
 
             # validation epoch (EVALUATION mode, training_loop.py:253-265)
             if (

@@ -28,6 +28,51 @@ def profile_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+class SteadyStateProfiler:
+    """Bounded Perfetto capture of steady-state train dispatches.
+
+    The first dispatch (the compile step) is excluded: tracing XLA
+    compilation both inflates the trace by orders of magnitude and slows the
+    compile itself. The reference's torch.profiler likewise wraps single
+    fwd/bwd passes, not the whole epoch (training_loop.py:463-473,525-538).
+    Capture starts before dispatch 1 and stops after `n_steps` traced
+    dispatches (or at epoch end). A single-dispatch epoch still produces a
+    trace: `finish` captures the final device sync so `profile=true` never
+    yields an empty trace dir.
+    """
+
+    def __init__(self, log_dir: str, n_steps: int = 3):
+        self.log_dir = log_dir
+        self.n_steps = max(1, n_steps)
+        self._active = False
+        self._done = False
+
+    def before_dispatch(self, it: int) -> None:
+        if it == 1 and not self._done:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+
+    def after_dispatch(self, it: int, sync_value) -> None:
+        if self._active and it >= self.n_steps:
+            jax.block_until_ready(sync_value)
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+
+    def finish(self, sync_value) -> None:
+        if self._active:
+            jax.block_until_ready(sync_value)
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+        elif not self._done:
+            # epoch had a single dispatch — trace its completion so the
+            # configured trace dir is never empty
+            with profile_trace(self.log_dir):
+                jax.block_until_ready(sync_value)
+            self._done = True
+
+
 def enable_anomaly_detection(enabled: bool = True):
     """NaN-propagation checks inside jit (reference `detect_anomaly`)."""
     jax.config.update("jax_debug_nans", enabled)

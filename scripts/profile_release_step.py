@@ -157,8 +157,29 @@ def main():
         )
         return jnp.sum(v) * 1e-6
 
+    # bf16 UNet compute at release scale (VERDICT r4 weak #7: the round-2
+    # bf16 rejection was measured at BASE scale only; at release scale the
+    # denoiser is a larger share of the step). Same f32 params, bf16 compute.
+    model_unet_bf16 = bench._release_model(dtype=jnp.bfloat16)
+
+    def full_bf16_loss(p, rng):
+        preds = model_unet_bf16.apply(
+            {**variables, "params": p},
+            camera=camera,
+            image_rgb=image_rgb,
+            fg_probability=fg,
+            mask_crop=mask_crop,
+            training=True,
+            rng=rng,
+            mutable=_mut,
+        )
+        if isinstance(preds, tuple):
+            preds = preds[0]
+        return preds["objective"]
+
     phases = [
         ("full", full_loss),
+        ("full_bf16", full_bf16_loss),
         ("nopool", nopool_loss),
         ("extract", extract_loss),
         ("pool_full", pool_loss),
