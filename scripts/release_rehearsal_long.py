@@ -23,12 +23,15 @@ run exercises), with the probes between epochs.
 Run (on the TPU, nothing else using the chip):
     timeout 5400 python -u scripts/release_rehearsal_long.py [max_epochs]
 """
+import faulthandler
 import json
 import os
 import shutil
+import signal
 import sys
 import time
 
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 sys.path.insert(0, "/root/repo")
 
 import jax
@@ -102,24 +105,28 @@ def main():
     sched = gd.make_named_schedule_from_config(model.diffusion_args or {})
 
     @jax.jit
-    def pooled_grid(params, camera_flat, image_rgb, fg, mask_crop):
+    def pooled_grid(variables, camera_flat, image_rgb, fg, mask_crop):
         """Raw pooled voxel grid v in [-1,1] (pre-denoise) — the x0 the
-        diffusion leg is trained to recover (holo_diffusion_model.py:368-373)."""
+        diffusion leg is trained to recover (holo_diffusion_model.py:368-373).
+
+        Takes the FULL variables dict (params + the extractor's batch_stats,
+        train_step.TrainState.variables()) — eval-mode BatchNorm reads the
+        running stats collection."""
         img, fg2, _ = preprocess_input(
             image_rgb, fg, None, model.mask_images, model.mask_depths,
             model.mask_threshold, model.bg_color,
         )
         return model.apply(
-            {"params": params}, img, camera_flat, fg2, mask_crop,
+            variables, img, camera_flat, fg2, mask_crop,
             method=HoloDiffusionModel.pool_features,
         )
 
     @jax.jit
-    def denoise_leg_mse(params, v, rng):
+    def denoise_leg_mse(variables, v, rng):
         """Mean over PROBE_TS of ||pred_x0(q_sample(v,t),t) - v||^2."""
         def model_fn(x, t):
             return model.apply(
-                {"params": params}, x, t,
+                variables, x, t,
                 method=HoloDiffusionModel.apply_net_3d,
             )
 
@@ -144,22 +151,21 @@ def main():
     t0 = time.perf_counter()
     for epoch in range(max_epochs):
         state, stats = exp.run(max_epochs=epoch + 1, use_mesh=False)
-        params = state.params
+        variables = state.variables()
 
         # diffusion-leg probe on the fixed val batch
         v = pooled_grid(
-            params, probe_camera,
+            variables, probe_camera,
             jnp.asarray(probe_batch.image_rgb),
             jnp.asarray(probe_batch.fg_probability),
             jnp.asarray(probe_batch.mask_crop),
         )
-        per_t = np.asarray(denoise_leg_mse(params, v[None], probe_rng))
+        per_t = np.asarray(denoise_leg_mse(variables, v[None], probe_rng))
 
         # per-epoch unconditional DDPM sample + render snapshot
         sample = sample_random_voxel_features(
-            model, {"params": params}, jax.random.PRNGKey(7), n_samples=1,
+            model, variables, jax.random.PRNGKey(7), n_samples=1,
         )
-        variables = {"params": params}
         renderer = make_chunk_renderer(model, variables)
         out = render_image_chunked(
             model, variables, probe_camera[:1], sample[0],
