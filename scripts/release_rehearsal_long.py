@@ -9,12 +9,17 @@ extends it to ~10 epochs and records the DIFFUSION leg's progress too
     current denoiser, rendered from a fixed held-out camera and saved as a
     PNG snapshot (reference analog: visdom denoising previews,
     holo_diffusion_model.py:598-616);
-  * per-epoch denoise-leg curve — E_t ||pred_x0(q_sample(v, t), t) - v||^2
-    on a FIXED validation batch's pooled grid with FIXED noise, evaluated at
-    a fixed fan of timesteps. This is the voxel-space reconstruction error
-    of the denoiser (the quantity the bootstrap pass consumes,
-    holo_diffusion_model.py:392-398) — it must fall as the UNet learns even
-    though training supervision is photometric.
+  * per-epoch denoise-leg curves —
+      (a) `loss_prev_stage_rgb_mse`, the photometric loss rendered through
+          the DENOISED bootstrap grid: this is the diffusion leg's actual
+          training supervision (reference holo_diffusion_model.py:530-538)
+          and the primary "the diffusion leg learns" signal;
+      (b) E_t ||pred_x0(q_sample(v, t), t) - v||^2 on a FIXED validation
+          batch's pooled grid with FIXED noise at a fixed fan of timesteps
+          (the quantity the bootstrap pass consumes,
+          holo_diffusion_model.py:392-398). NOTE: v is a moving target —
+          the extractor sharpens it every epoch and its variance grows, so
+          this is recorded both raw and normalized by var(v).
 
 Epochs run one at a time through experiment.py's TrainingLoop (resume picks
 up the orbax checkpoint each call — the same codepath a user's interrupted
@@ -176,15 +181,29 @@ def main():
 
         h = stats.history[-1]
         tr, va = h.get("train", {}), h.get("val", {})
+        # var(v) contextualizes the raw voxel MSE: v is a MOVING target (the
+        # extractor/pooler sharpen it every epoch, its variance grows), so
+        # the denoiser's progress shows in MSE/var(v), not raw MSE. The
+        # photometric loss through the DENOISED pass
+        # (loss_prev_stage_rgb_mse — the reference's actual diffusion-leg
+        # supervision, holo_diffusion_model.py:530-538) is the primary
+        # learning signal recorded here.
+        v_var = float(jnp.var(v))
         rec = {
             "epoch": epoch,
             "train_psnr": float(tr.get("loss_rgb_psnr", float("nan"))),
             "val_psnr": float(va.get("loss_rgb_psnr", float("nan"))),
             "objective": float(tr.get("objective", float("nan"))),
+            "prev_stage_rgb_mse": float(
+                tr.get("loss_prev_stage_rgb_mse", float("nan"))),
+            "prev_stage_rgb_psnr": float(
+                tr.get("loss_prev_stage_rgb_psnr", float("nan"))),
             "denoise_mse_per_t": {
                 str(t): float(m) for t, m in zip(PROBE_TS, per_t)
             },
             "denoise_mse_mean": float(per_t.mean()),
+            "pooled_grid_var": v_var,
+            "denoise_mse_rel": float(per_t.mean() / max(v_var, 1e-12)),
             "sample_png": png,
             "sample_render_mean": float(np.asarray(
                 out["images_render"]).mean()),
@@ -192,8 +211,10 @@ def main():
         curve.append(rec)
         print(f"[rehearsal] epoch {epoch}: train_psnr={rec['train_psnr']:.3f} "
               f"val_psnr={rec['val_psnr']:.3f} "
+              f"prev_stage_mse={rec['prev_stage_rgb_mse']:.5f} "
               f"denoise_mse={rec['denoise_mse_mean']:.5f} "
-              f"(per-t {['%.4f' % m for m in per_t]})", flush=True)
+              f"(rel {rec['denoise_mse_rel']:.3f}, var(v) {v_var:.4f})",
+              flush=True)
 
     wall = time.perf_counter() - t0
     steps = max_epochs * (EPOCH_FRAMES // exp.batch_size)
