@@ -859,12 +859,22 @@ def main():
     # The tunnel's availability is flaky; retry the cheap probe briefly.
     # Round-4 lesson (VERDICT r4 weak #1): the old 15-min retry loop could
     # burn a quarter of the driver window before the first phase ran — cap
-    # the whole probe stage at ~3 min and move on.
+    # the probe stage and move on. Round-5 lesson: in a DEGRADED tunnel
+    # mood jax.devices() alone was measured at 71 s and a first dispatch at
+    # 200+ s (the device still works after), so a 150 s attempt can time
+    # out while the chip is fine — give each attempt 300 s and guarantee
+    # TWO attempts even if the first one's hang already ate the deadline.
+    # Worst case this stage costs ~10.5 min against a truly dead tunnel;
+    # a merely-slow tunnel passes on attempt 1 or 2 and the later phases
+    # (which scan many steps per dispatch) amortize the latency.
     device = None
-    probe_deadline = time.time() + 180
-    while device is None and time.time() < probe_deadline:
-        device = _run_phase("probe", 150)
-        if device is None and time.time() < probe_deadline:
+    probe_deadline = time.time() + 420
+    attempts = 0
+    while device is None and (attempts < 2 or time.time() < probe_deadline):
+        attempts += 1
+        device = _run_phase("probe", 300)
+        if device is None and (attempts < 2
+                               or time.time() < probe_deadline):
             _log("[bench] probe failed; retrying in 15s")
             time.sleep(15)
     if device is None:

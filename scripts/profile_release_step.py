@@ -97,6 +97,28 @@ def main():
             preds = preds[0]
         return preds["objective"]
 
+    def fullnoloss_loss(p, rng):
+        """full chain, loss anchored on the RENDER instead of the objective:
+        XLA dead-code-eliminates the metrics/objective path (gt bilinear
+        gathers at ray xys, loss terms, their backward), so
+        full - fullnoloss isolates the metrics+loss-path cost that the
+        pool_full/nopool phases cannot see (round-5 residual attribution)."""
+        preds = model.apply(
+            {**variables, "params": p},
+            camera=camera,
+            image_rgb=image_rgb,
+            fg_probability=fg,
+            mask_crop=mask_crop,
+            training=True,
+            rng=rng,
+            mutable=_mut,
+        )
+        if isinstance(preds, tuple):
+            preds = preds[0]
+        r = preds["rendered"]
+        return (jnp.sum(r.features) + jnp.sum(r.depths)
+                + jnp.sum(r.masks)) * 1e-6
+
     # grid for the nopool/denoise phases
     grid = jnp.zeros((1, model.resol, model.resol, model.resol,
                       model.feature_size), jnp.float32)
@@ -180,6 +202,7 @@ def main():
     phases = [
         ("full", full_loss),
         ("full_bf16", full_bf16_loss),
+        ("fullnoloss", fullnoloss_loss),
         ("nopool", nopool_loss),
         ("extract", extract_loss),
         ("pool_full", pool_loss),

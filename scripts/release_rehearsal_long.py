@@ -177,7 +177,7 @@ def main():
             image_height=256, image_width=256, chunk_renderer=renderer,
         )
         png = os.path.join(OUT_DIR, f"sample_epoch_{epoch:02d}.png")
-        save_png(out["images_render"][0], png)
+        save_png(out["images_render"], png)  # (H, W, 3) — not batched
 
         h = stats.history[-1]
         tr, va = h.get("train", {}), h.get("val", {})
