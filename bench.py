@@ -870,18 +870,25 @@ def main():
     device = None
     probe_deadline = time.time() + 420
     attempts = 0
-    while device is None and (attempts < 2 or time.time() < probe_deadline):
+    # ≥2 attempts even if a hung attempt 1 ate the deadline; ≤6 so a
+    # FAST-failing probe (broken install exits in seconds) can't spin
+    # through dozens of retries inside the deadline window.
+    while device is None and attempts < 6 and (
+            attempts < 2 or time.time() < probe_deadline):
         attempts += 1
         device = _run_phase("probe", 300)
-        if device is None and (attempts < 2
-                               or time.time() < probe_deadline):
+        if device is None and attempts < 6 and (
+                attempts < 2 or time.time() < probe_deadline):
             _log("[bench] probe failed; retrying in 15s")
             time.sleep(15)
     if device is None:
-        # Honest failure record — but attach the LAST SUCCESSFUL full-bench
-        # result (committed as bench_cache.json after a good run) so a
-        # multi-hour tunnel outage at bench time doesn't erase the round's
-        # measured perf evidence. `value` stays 0.0: nothing was measured NOW.
+        # Honest failure record — but the HOST pipeline doesn't need the
+        # chip: run the CPU-only loader phases anyway so the artifact still
+        # carries fresh host-side measurements, and attach the LAST
+        # SUCCESSFUL full-bench result (committed as bench_cache.json after
+        # a good run) so a tunnel outage at bench time doesn't erase the
+        # round's measured perf evidence. `value` stays 0.0: nothing
+        # device-side was measured NOW.
         out = {
             "metric": "denoise_steps_per_sec_per_chip",
             "value": 0.0,
@@ -889,6 +896,14 @@ def main():
             "vs_baseline": None,
             "error": "TPU device unreachable within budget",
         }
+        cpu_env = {"JAX_PLATFORMS": "cpu"}
+        for phase, key, nd in (
+            ("loader_sustained", "loader_batches_per_sec_sustained", 2),
+            ("loader_cold", "loader_frames_per_sec_cold", 2),
+        ):
+            value = _run_phase(phase, 600, env=cpu_env)
+            if value is not None and not isinstance(value, dict):
+                out.setdefault("extra", {})[key] = round(value, nd)
         cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_cache.json")
         try:
